@@ -1,0 +1,234 @@
+"""Standard circuit generators.
+
+Covers the reference's fixture/benchmark families
+(``v1_implementation/src/circuits.py``, ``wenbo_engine/tests/fixtures``)
+plus the BASELINE configs: GHZ, W, QFT, inverse QFT, QPE, Hadamard
+wall, GHZ+QFT composites, random non-stabilizer circuits, QAOA MaxCut
+(RZZ/RX Trotter layers), and a Sycamore-style random circuit for
+sampling benchmarks.
+
+All builders return plain circuit dicts (the shared contract).
+"""
+from __future__ import annotations
+
+import math
+import random as _random
+
+import numpy as np
+
+
+def _c(n: int, gates: list[dict]) -> dict:
+    return {"number_of_qubits": n, "gates": gates}
+
+
+def _g(name: str, qubits: list[int], params: dict | None = None) -> dict:
+    out: dict = {"qubits": qubits, "gate": name}
+    if params:
+        out["params"] = params
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Fixtures
+# ---------------------------------------------------------------------------
+
+def bell() -> dict:
+    return _c(2, [_g("H", [0]), _g("CNOT", [0, 1])])
+
+
+def ghz(n: int) -> dict:
+    gates = [_g("H", [0])] + [_g("CNOT", [i, i + 1]) for i in range(n - 1)]
+    return _c(n, gates)
+
+
+def w_state(n: int) -> dict:
+    """W state via cascaded G(p) rotations + CNOTs (reference family).
+
+    |W_n> = (|10...0> + |010...0> + ... + |0...01>) / sqrt(n).
+    Construction: X on q0, then for each step a controlled-G rotation
+    realised as G + CNOT pairs (standard linear W preparation).
+    """
+    gates = [_g("X", [0])]
+    for i in range(1, n):
+        p = n - i + 1
+        # Controlled-G(p) from qubit i-1 to i, then CNOT back.
+        gates.append(_g("CU", [i - 1, i], {
+            "U": _g_matrix_entries(p), "exponent": 1,
+        }))
+        gates.append(_g("CNOT", [i, i - 1]))
+    return _c(n, gates)
+
+
+def _g_matrix_entries(p: int) -> list[list[float]]:
+    a = math.sqrt(1.0 / p)
+    b = math.sqrt(1.0 - 1.0 / p)
+    return [[a, -b], [b, a]]
+
+
+def hadamard_wall(n: int) -> dict:
+    return _c(n, [_g("H", [i]) for i in range(n)])
+
+
+def qft(n: int) -> dict:
+    """Textbook QFT: H + controlled binary phases CR(k), then SWAPs."""
+    gates: list[dict] = []
+    for i in range(n - 1, -1, -1):
+        gates.append(_g("H", [i]))
+        for j in range(i - 1, -1, -1):
+            gates.append(_g(f"CR{i - j + 1}", [j, i]))
+    for i in range(n // 2):
+        gates.append(_g("SWAP", [i, n - 1 - i]))
+    return _c(n, gates)
+
+
+def ghz_qft(n: int) -> dict:
+    g1, g2 = ghz(n), qft(n)
+    return _c(n, g1["gates"] + g2["gates"])
+
+
+def qpe(n_counting: int, theta: float | None = None) -> dict:
+    """Quantum phase estimation on a phase gate with eigenphase theta.
+
+    Register layout: counting qubits 0..n_counting-1, eigenstate qubit
+    n_counting (prepared in |1>).  Uses CU with U = P(2*pi*theta) and
+    exponents 2^j, followed by the inverse QFT on the counting register.
+    """
+    n = n_counting + 1
+    if theta is None:
+        theta = 1.0 / 8.0
+    phase = 2.0 * math.pi * theta
+    u_entries = [[1.0, 0.0], [0.0, complex(math.cos(phase), math.sin(phase))]]
+    gates: list[dict] = [_g("X", [n_counting])]
+    for q in range(n_counting):
+        gates.append(_g("H", [q]))
+    for j in range(n_counting):
+        gates.append(_g("CU", [j, n_counting], {"U": u_entries, "exponent": 1 << j}))
+    gates.extend(_inverse_qft_gates(n_counting))
+    return _c(n, gates)
+
+
+def _inverse_qft_gates(n: int) -> list[dict]:
+    fwd = qft(n)["gates"]
+    inv: list[dict] = []
+    for g in reversed(fwd):
+        name = g["gate"]
+        if name == "H" or name == "SWAP":
+            inv.append(dict(g))
+        elif name.startswith("CR"):
+            k = int(name[2:])
+            # inverse of phase 2pi/2^k is phase -2pi/2^k = CP(-2pi/2^k)
+            inv.append(_g("CP", g["qubits"], {"phi": -2.0 * math.pi / (1 << k)}))
+        else:
+            raise AssertionError(f"unexpected gate in QFT: {name}")
+    return inv
+
+
+def random_circuit(
+    n: int,
+    n_gates: int,
+    seed: int = 0,
+    *,
+    gate_pool: tuple[str, ...] = (
+        "H", "X", "Y", "Z", "S", "T", "RY", "CNOT", "CZ", "SWAP", "CR",
+    ),
+) -> dict:
+    """Random non-stabilizer circuit over the core gate set."""
+    rng = _random.Random(seed)
+    gates: list[dict] = []
+    for _ in range(n_gates):
+        name = rng.choice(gate_pool)
+        if name in ("CNOT", "CZ", "SWAP", "CY"):
+            qa, qb = rng.sample(range(n), 2)
+            gates.append(_g(name, [qa, qb]))
+        elif name == "CR":
+            qa, qb = rng.sample(range(n), 2)
+            gates.append(_g("CR", [qa, qb], {"k": rng.randint(1, 5)}))
+        elif name == "RY":
+            gates.append(_g("RY", [rng.randrange(n)],
+                           {"theta": rng.uniform(0, 2 * math.pi)}))
+        else:
+            gates.append(_g(name, [rng.randrange(n)]))
+    return _c(n, gates)
+
+
+def non_stabilizer(n: int, depth: int = 4, seed: int = 7) -> dict:
+    """H+T+CNOT layers (the reference's scaling-benchmark family)."""
+    rng = _random.Random(seed)
+    gates: list[dict] = []
+    for _ in range(depth):
+        for q in range(n):
+            gates.append(_g("H", [q]))
+            if rng.random() < 0.5:
+                gates.append(_g("T", [q]))
+        order = list(range(n - 1))
+        rng.shuffle(order)
+        for q in order[: n // 2]:
+            gates.append(_g("CNOT", [q, q + 1]))
+    return _c(n, gates)
+
+
+# ---------------------------------------------------------------------------
+# BASELINE workload configs
+# ---------------------------------------------------------------------------
+
+def qaoa_maxcut(n: int, p: int = 2, seed: int = 3) -> dict:
+    """QAOA MaxCut on a random 3-regular-ish graph: RZZ cost + RX mixer layers."""
+    rng = _random.Random(seed)
+    edges: set[tuple[int, int]] = set()
+    for i in range(n):
+        for _ in range(2):
+            j = rng.randrange(n)
+            if i != j:
+                edges.add((min(i, j), max(i, j)))
+    gates: list[dict] = [_g("H", [q]) for q in range(n)]
+    for layer in range(p):
+        gamma = rng.uniform(0, math.pi)
+        beta = rng.uniform(0, math.pi)
+        for (i, j) in sorted(edges):
+            gates.append(_g("RZZ", [i, j], {"theta": gamma}))
+        for q in range(n):
+            gates.append(_g("RX", [q], {"theta": 2 * beta}))
+    return _c(n, gates)
+
+
+def sycamore_like(n: int, depth: int = 8, seed: int = 11) -> dict:
+    """Sycamore-style random circuit: random sqrt-gates + brick-pattern CZ.
+
+    Uses sqrt(X), sqrt(Y) (= RY(pi/2) up to phase), and T as the 1Q pool
+    and CZ entanglers in an alternating linear brick pattern — dense,
+    non-stabilizer, the standard random-circuit-sampling benchmark shape.
+    """
+    rng = _random.Random(seed)
+    gates: list[dict] = []
+    last: dict[int, int] = {}
+    for d in range(depth):
+        for q in range(n):
+            choice = rng.randrange(3)
+            while last.get(q) == choice:
+                choice = rng.randrange(3)
+            last[q] = choice
+            if choice == 0:
+                gates.append(_g("SX", [q]))
+            elif choice == 1:
+                gates.append(_g("RY", [q], {"theta": math.pi / 2}))
+            else:
+                gates.append(_g("T", [q]))
+        start = d % 2
+        for q in range(start, n - 1, 2):
+            gates.append(_g("CZ", [q, q + 1]))
+    return _c(n, gates)
+
+
+FAMILIES = {
+    "bell": lambda n=2: bell(),
+    "ghz": ghz,
+    "w": w_state,
+    "qft": qft,
+    "ghz_qft": ghz_qft,
+    "qpe": lambda n: qpe(max(n - 1, 1)),
+    "hwall": hadamard_wall,
+    "random": lambda n: random_circuit(n, 5 * n, seed=1),
+    "nonstab": non_stabilizer,
+    "qaoa": qaoa_maxcut,
+    "sycamore": sycamore_like,
+}
