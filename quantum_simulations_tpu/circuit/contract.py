@@ -23,6 +23,8 @@ contract.
 """
 from __future__ import annotations
 
+import hashlib
+import json
 import re
 from typing import Any
 
@@ -146,6 +148,16 @@ def levelize(circuit_dict: dict) -> list[list[dict]]:
 
 def circuit_depth(circuit_dict: dict) -> int:
     return len(levelize(circuit_dict))
+
+
+def circuit_hash(circuit_dict: dict) -> str:
+    """Stable SHA-256 of a circuit dict (WAL identity, jit-cache key).
+
+    Complex/array params (e.g. CU's U) are serialised via repr so the
+    hash is deterministic for any contract-valid circuit.
+    """
+    blob = json.dumps(circuit_dict, sort_keys=True, default=repr)
+    return hashlib.sha256(blob.encode()).hexdigest()
 
 
 def gate_counts(circuit_dict: dict) -> dict[str, int]:

@@ -1,0 +1,194 @@
+"""Dense gate application on a (shard of a) statevector — pure jnp.
+
+These functions operate on a flat complex jnp array of 2^m amplitudes
+(the whole state on one device, or one shard inside ``shard_map``) and
+apply unitaries whose qubits are all *local* (index bit < m).
+
+TPU-first design notes
+----------------------
+* A gate on qubit q is a strided-pair update: the state viewed as
+  ``(R, 2, 2^q)`` splits into the q=0 / q=1 planes, and the new planes
+  are scalar linear combinations of the old ones.  Reshapes of a C-order
+  flat array are free (bitcasts); the combination is a fused elementwise
+  VPU pass over HBM — the op is memory-bound by construction.
+* Gate matrices are **compile-time constants** (numpy complex128 baked
+  into the traced program), so XLA constant-folds coefficients; zero
+  and one coefficients are elided *before* tracing (X/SWAP/CNOT cost no
+  multiplies, diagonal gates touch only the phased plane).
+* Gates whose qubits all sit in the low ``w <= 7`` bits can be fused
+  into a single 2^w x 2^w matrix and applied as ONE matmul on the MXU
+  (``apply_low_panel``): the 128-lane dimension of the TPU register
+  file carries qubits 0..6, so the panel costs a single HBM pass no
+  matter how many gates it fuses.  The reference reaches the same goal
+  with gather->GEMM->scatter per chunk (wenbo_engine/kernel/cpu_batched.py);
+  here the MXU systolic array does it natively.
+
+Endianness: little — qubit 0 is bit 0 of the flat index.
+2Q matrices are big-endian in the gate subspace (qubits[0] = MSB), per
+the contract (wenbo_engine/kernel/gates.py:3-10).
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+_ZERO_TOL = 0.0  # exact structural zeros only (gate matrices are exact)
+
+
+def _np_dtype(dtype) -> np.dtype:
+    return np.dtype(jnp.dtype(dtype).name)
+
+
+def _lincomb(coeffs, arrays):
+    """sum(c * a) skipping structural zeros and unit coefficients."""
+    acc = None
+    for c, a in zip(coeffs, arrays):
+        if c == 0:
+            continue
+        term = a if c == 1 else c * a
+        acc = term if acc is None else acc + term
+    if acc is None:
+        return jnp.zeros_like(arrays[0])
+    return acc
+
+
+def _const_coeffs(U: np.ndarray, dtype) -> np.ndarray:
+    """Cast the gate matrix to the state dtype as *python/numpy scalars*."""
+    return np.asarray(U, dtype=_np_dtype(dtype))
+
+
+def apply_1q(psi: jnp.ndarray, q: int, U: np.ndarray) -> jnp.ndarray:
+    """Apply a 2x2 unitary to local qubit q.  psi: flat (2^m,) complex."""
+    size = psi.size
+    C = 1 << q
+    R = size >> (q + 1)
+    u = _const_coeffs(U, psi.dtype)
+    x = psi.reshape(R, 2, C)
+    a, b = x[:, 0, :], x[:, 1, :]
+    out0 = _lincomb((u[0, 0], u[0, 1]), (a, b))
+    out1 = _lincomb((u[1, 0], u[1, 1]), (a, b))
+    return jnp.stack((out0, out1), axis=1).reshape(size)
+
+
+def apply_1q_diag(psi: jnp.ndarray, q: int, U: np.ndarray) -> jnp.ndarray:
+    """Diagonal 2x2 gate: phase the q=1 plane (and q=0 if non-trivial)."""
+    size = psi.size
+    C = 1 << q
+    R = size >> (q + 1)
+    u = _const_coeffs(U, psi.dtype)
+    x = psi.reshape(R, 2, C)
+    a = x[:, 0, :] if u[0, 0] == 1 else u[0, 0] * x[:, 0, :]
+    b = x[:, 1, :] if u[1, 1] == 1 else u[1, 1] * x[:, 1, :]
+    return jnp.stack((a, b), axis=1).reshape(size)
+
+
+def apply_2q(psi: jnp.ndarray, qa: int, qb: int, U: np.ndarray) -> jnp.ndarray:
+    """Apply a 4x4 unitary (big-endian subspace, qa = MSB) to local qa, qb."""
+    size = psi.size
+    hi, lo = (qa, qb) if qa > qb else (qb, qa)
+    C = 1 << lo
+    B = 1 << (hi - lo - 1)
+    A = size >> (hi + 1)
+    u = _const_coeffs(U, psi.dtype)
+
+    def sub(h: int, l: int) -> int:
+        """(hi_bit, lo_bit) -> big-endian gate-subspace index."""
+        return (h << 1) | l if qa == hi else (l << 1) | h
+
+    x = psi.reshape(A, 2, B, 2, C)
+    planes = {(h, l): x[:, h, :, l, :] for h in (0, 1) for l in (0, 1)}
+    outs = {}
+    for h in (0, 1):
+        for l in (0, 1):
+            row = sub(h, l)
+            coeffs = [u[row, sub(h2, l2)] for h2 in (0, 1) for l2 in (0, 1)]
+            arrays = [planes[(h2, l2)] for h2 in (0, 1) for l2 in (0, 1)]
+            outs[(h, l)] = _lincomb(coeffs, arrays)
+    lo_stacked = [
+        jnp.stack((outs[(h, 0)], outs[(h, 1)]), axis=2) for h in (0, 1)
+    ]  # each (A, B, 2, C)
+    return jnp.stack(lo_stacked, axis=1).reshape(size)
+
+
+def apply_mq(psi: jnp.ndarray, qubits: tuple[int, ...], U: np.ndarray) -> jnp.ndarray:
+    """Apply an m-qubit unitary to arbitrary local qubits.
+
+    Dispatches: 1Q/2Q go through the fused elementwise strided-plane
+    paths (one HBM pass each); m >= 3 uses the tensor-contraction path.
+    """
+    m = len(qubits)
+    if m == 1:
+        return apply_1q(psi, qubits[0], U)
+    if m == 2:
+        return apply_2q(psi, qubits[0], qubits[1], U)
+    return apply_mq_einsum(psi, qubits, U)
+
+
+def apply_mq_einsum(psi: jnp.ndarray, qubits: tuple[int, ...], U: np.ndarray) -> jnp.ndarray:
+    """m-qubit unitary via tensor reshape + dot_general (any m <= 10).
+
+    View the state as a rank-m_total tensor of 2s (axis j carries qubit
+    m_total-1-j), move the gate axes to the front, and contract with the
+    2^m x 2^m matrix on the MXU.  XLA compiles this to
+    transpose -> matmul -> transpose: ~3 HBM passes, independent of m —
+    cheaper than m elementwise passes for m >= 3 and the fallback for
+    fused multi-qubit blocks whose qubits are not in the low panel.
+    """
+    m = len(qubits)
+    n_total = int(np.log2(psi.size))
+    dim = 1 << m
+    u = jnp.asarray(_const_coeffs(U, psi.dtype))
+    x = psi.reshape((2,) * n_total)
+    # axis for qubit q is (n_total - 1 - q); U is big-endian: qubits[0]=MSB.
+    gate_axes = [n_total - 1 - q for q in qubits]
+    x = jnp.moveaxis(x, gate_axes, range(m))
+    rest = x.shape[m:]
+    x = x.reshape(dim, -1)
+    y = u @ x
+    y = y.reshape((2,) * m + rest)
+    y = jnp.moveaxis(y, range(m), gate_axes)
+    return y.reshape(psi.size)
+
+
+def expand_to_low_block(qubits: tuple[int, ...], U: np.ndarray, width: int) -> np.ndarray:
+    """Expand an m-qubit gate to a 2^width x 2^width matrix over bits 0..width-1.
+
+    The result W is little-endian over the low `width` bits and satisfies
+    (psi.reshape(-1, 2^width) @ W.T) == gate applied.  All gate qubits
+    must be < width.
+    """
+    m = len(qubits)
+    assert all(q < width for q in qubits)
+    dim = 1 << width
+    idx = np.arange(dim)
+    # gate subspace index of each low-block index (big-endian gate order)
+    sub = np.zeros(dim, dtype=np.int64)
+    for j, q in enumerate(qubits):
+        sub |= ((idx >> q) & 1) << (m - 1 - j)
+    other_mask = (dim - 1) ^ sum(1 << q for q in qubits)
+    other = idx & other_mask
+    W = np.zeros((dim, dim), dtype=np.complex128)
+    same = other[:, None] == other[None, :]
+    W[same] = np.asarray(U, dtype=np.complex128)[sub[:, None], sub[None, :]][same]
+    return W
+
+
+def compose_low_panel(ops: list[tuple[tuple[int, ...], np.ndarray]], width: int) -> np.ndarray:
+    """Fuse a sequence of gates (applied first-to-last) on low qubits into one W."""
+    W = np.eye(1 << width, dtype=np.complex128)
+    for qubits, U in ops:
+        W = expand_to_low_block(tuple(qubits), U, width) @ W
+    return W
+
+
+def apply_low_panel(psi: jnp.ndarray, W: np.ndarray) -> jnp.ndarray:
+    """Apply a fused low-qubit block: one MXU matmul over the whole state."""
+    width_dim = W.shape[0]
+    w = jnp.asarray(_const_coeffs(W, psi.dtype))
+    x = psi.reshape(-1, width_dim)
+    return (x @ w.T).reshape(psi.size)
+
+
+def zero_state(m: int, dtype=jnp.complex64) -> jnp.ndarray:
+    psi = jnp.zeros(1 << m, dtype=dtype)
+    return psi.at[0].set(1.0)

@@ -1,0 +1,92 @@
+"""Single-device dense simulator: the whole statevector in one device's HBM.
+
+The circuit is compiled (levelize -> fuse -> low-panel pack) and traced
+into ONE XLA program; XLA fuses consecutive elementwise gate updates
+into shared HBM sweeps and runs low-panel blocks on the MXU.  This is
+the TPU analogue of the reference's in-memory tier
+(``wenbo_engine/kernel/ref_dense.py`` + ``hisvsim_repo/state_vector.hpp``),
+reaching n ~= 30 in complex64 on a 16 GB chip.
+
+Compiled programs are cached by circuit hash so repeated runs (bench
+loops, parameter sweeps over the same structure) pay tracing once.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..circuit.contract import circuit_hash, validate_circuit_dict
+from ..circuit.fusion import GateOp, LowPanelOp, Step, compile_steps
+from ..ops import dense
+
+
+def apply_local_ops(psi: jnp.ndarray, ops: list) -> jnp.ndarray:
+    """Apply a list of local ops (GateOp | LowPanelOp) to a flat shard."""
+    for op in ops:
+        if isinstance(op, LowPanelOp):
+            psi = dense.apply_low_panel(psi, op.W)
+        else:
+            psi = dense.apply_mq(psi, op.qubits, op.U)
+    return psi
+
+
+_COMPILE_CACHE: dict = {}
+
+
+def build_circuit_fn(
+    circuit_dict: dict,
+    *,
+    dtype=jnp.complex64,
+    use_fusion: bool = True,
+    panel_width: int | None = 7,
+    donate: bool = True,
+):
+    """Return a jitted ``fn(psi) -> psi`` applying the whole circuit.
+
+    The input buffer is donated (statevectors are huge; the update is
+    logically in-place even though the program is functional).
+    """
+    cd = validate_circuit_dict(circuit_dict)
+    n = cd["number_of_qubits"]
+    key = (circuit_hash(cd), jnp.dtype(dtype).name, use_fusion, panel_width, donate)
+    cached = _COMPILE_CACHE.get(key)
+    if cached is not None:
+        return cached
+
+    steps = compile_steps(cd, k=n, use_fusion=use_fusion, panel_width=panel_width)
+    all_ops = [op for s in steps for op in (s.local_ops + s.nonlocal_ops)]
+
+    def fn(psi):
+        return apply_local_ops(psi, all_ops)
+
+    jitted = jax.jit(fn, donate_argnums=(0,) if donate else ())
+    _COMPILE_CACHE[key] = jitted
+    return jitted
+
+
+def simulate(
+    circuit_dict: dict,
+    *,
+    dtype=jnp.complex64,
+    use_fusion: bool = True,
+    panel_width: int | None = 7,
+    initial_state=None,
+) -> jnp.ndarray:
+    """Run a circuit on one device, return the final statevector."""
+    cd = validate_circuit_dict(circuit_dict)
+    n = cd["number_of_qubits"]
+    fn = build_circuit_fn(
+        cd, dtype=dtype, use_fusion=use_fusion, panel_width=panel_width,
+        donate=initial_state is None,
+    )
+    if initial_state is None:
+        psi = dense.zero_state(n, dtype)
+    else:
+        psi = jnp.asarray(initial_state, dtype=dtype)
+    return fn(psi)
+
+
+def simulate_np(circuit_dict: dict, **kw) -> np.ndarray:
+    """Like :func:`simulate` but returns host numpy (test convenience)."""
+    return np.asarray(simulate(circuit_dict, **kw))
