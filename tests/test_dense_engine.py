@@ -212,9 +212,14 @@ def test_cross_qubit_gates_do_not_fuse():
 
 
 def test_batching_reduces_steps():
-    cd = lib.qft(10)
-    stats = fusion_stats(cd, k=5)
-    assert stats["fused_steps"] < stats["original_levels"]
+    # GHZ(8) at k=4: the first 4 levels (H + 3 local CNOTs) batch into one
+    # step; the 4 nonlocal CNOTs stay one step each.
+    stats = fusion_stats(lib.ghz(8), k=4)
+    assert stats["original_levels"] == 8
+    assert stats["fused_steps"] == 5
+    # All-local circuit collapses into a single step.
+    stats = fusion_stats(lib.qft(10), k=10)
+    assert stats["fused_steps"] == 1
     assert stats["ops_after"] <= stats["ops_before"]
 
 
