@@ -39,22 +39,38 @@ def _np_dtype(dtype) -> np.dtype:
     return np.dtype(jnp.dtype(dtype).name)
 
 
+def _is_const(c) -> bool:
+    """True for compile-time-constant coefficients (zero-elidable)."""
+    return isinstance(c, (int, float, complex, np.generic, np.ndarray))
+
+
 def _lincomb(coeffs, arrays):
-    """sum(c * a) skipping structural zeros and unit coefficients."""
+    """sum(c * a), skipping structural zeros / unit factors of constants.
+
+    Traced (runtime) coefficients are always included — elision only
+    applies when the gate matrix is a compile-time numpy constant.
+    """
     acc = None
     for c, a in zip(coeffs, arrays):
-        if c == 0:
+        if _is_const(c) and c == 0:
             continue
-        term = a if c == 1 else c * a
+        term = a if (_is_const(c) and c == 1) else c * a
         acc = term if acc is None else acc + term
     if acc is None:
         return jnp.zeros_like(arrays[0])
     return acc
 
 
-def _const_coeffs(U: np.ndarray, dtype) -> np.ndarray:
-    """Cast the gate matrix to the state dtype as *python/numpy scalars*."""
-    return np.asarray(U, dtype=_np_dtype(dtype))
+def _const_coeffs(U, dtype):
+    """Cast the gate matrix to the state dtype.
+
+    numpy input stays numpy (entries become python/numpy scalars that
+    XLA constant-folds and `_lincomb` can elide); traced jnp input is
+    cast in-graph.
+    """
+    if isinstance(U, np.ndarray):
+        return np.asarray(U, dtype=_np_dtype(dtype))
+    return U.astype(jnp.dtype(dtype))
 
 
 def apply_1q(psi: jnp.ndarray, q: int, U: np.ndarray) -> jnp.ndarray:

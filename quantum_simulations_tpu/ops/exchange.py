@@ -1,0 +1,171 @@
+"""Cross-shard gate application — the ICI communication tier.
+
+The global 2^n statevector is sharded over a 1-D device mesh: device
+bits are the TOP index bits (qubits k..n-1 for shard width 2^k), so
+qubit q >= k lives on mesh-axis bit (q - k).  A gate touching such a
+qubit pairs amplitudes on different chips.
+
+One general mechanism replaces the reference's four butterfly cases
+(``wenbo_engine/kernel/cpu_nonlocal.py``), its MPI bit-permutation
+all-to-all (``hisvsim_repo/mpi_redistributer.hpp``), and its
+"insular"-gate scheduling relaxation (``wenbo_engine/circuit/staging.py:65-98``):
+
+For a gate on qubits Q = (device bits D, local bits L), decompose the
+update by **XOR offset** x over the device bits:
+
+    new_shard = sum_x  W_x  applied-to  ppermute(shard, pairing: s <-> s^x)
+
+where W_x is the 2^|L| x 2^|L| block of U coupling my device-bit values
+``a`` to partner values ``a ^ x``.  Offsets whose block is structurally
+zero for every ``a`` are **elided at trace time** — so:
+
+* diagonal gates (Z/S/T/R/CZ/CR/RZZ) keep only x = 0: zero traffic;
+* CNOT/CU with control on a device bit keeps only the offset that
+  leaves the control untouched: a control on a device bit costs zero
+  traffic if the target is local, and ONE exchange (not three) if the
+  target is remote;
+* a general 1q gate costs exactly one ppermute (the butterfly);
+* SWAP across the shard boundary costs one ppermute of half the data
+  volume in matrix form (two surviving offsets, but x=0 is diagonal).
+
+W_x depends on this device's own bit values (a traced scalar from
+``axis_index``), so blocks are gathered from the constant U in-graph;
+the collective *pattern* is identical on every device, as SPMD needs.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from . import dense
+
+
+def _device_bit(axis_name: str, bit: int) -> jnp.ndarray:
+    """This device's value of mesh-axis bit `bit` (traced 0/1 scalar)."""
+    return (lax.axis_index(axis_name) >> bit) & 1
+
+
+def _xor_perm(n_dev: int, mask: int) -> list[tuple[int, int]]:
+    return [(i, i ^ mask) for i in range(n_dev)]
+
+
+def nonzero_offsets(U: np.ndarray, qubits: tuple[int, ...], k: int) -> list[int]:
+    """Which XOR offsets over the device-bit qubits have nonzero blocks."""
+    m = len(qubits)
+    dev_pos = [j for j, q in enumerate(qubits) if q >= k]
+    loc_pos = [j for j, q in enumerate(qubits) if q < k]
+    r, p = len(dev_pos), len(loc_pos)
+
+    def sub_index(dev_bits: int, loc_sub: int) -> int:
+        s = 0
+        for t, j in enumerate(dev_pos):
+            s |= ((dev_bits >> (r - 1 - t)) & 1) << (m - 1 - j)
+        for t, j in enumerate(loc_pos):
+            s |= ((loc_sub >> (p - 1 - t)) & 1) << (m - 1 - j)
+        return s
+
+    out = []
+    for x in range(1 << r):
+        nz = False
+        for a in range(1 << r):
+            for lo in range(1 << p):
+                for li in range(1 << p):
+                    if U[sub_index(a, lo), sub_index(a ^ x, li)] != 0:
+                        nz = True
+                        break
+                if nz:
+                    break
+            if nz:
+                break
+        if nz:
+            out.append(x)
+    return out
+
+
+def apply_nonlocal(
+    shard: jnp.ndarray,
+    axis_name: str,
+    k: int,
+    qubits: tuple[int, ...],
+    U: np.ndarray,
+) -> jnp.ndarray:
+    """Apply a gate with >=1 device-bit qubit to this device's shard.
+
+    Must run inside ``shard_map`` over a 1-D mesh axis ``axis_name`` of
+    2^(n-k) devices; ``shard`` is the flat (2^k,) local block.
+    """
+    U = np.asarray(U, dtype=np.complex128)
+    m = len(qubits)
+    dev_pos = [j for j, q in enumerate(qubits) if q >= k]
+    loc_pos = [j for j, q in enumerate(qubits) if q < k]
+    r, p = len(dev_pos), len(loc_pos)
+    assert r >= 1, "apply_nonlocal called with an all-local gate"
+    n_dev = lax.axis_size(axis_name)
+    loc_qubits = tuple(qubits[j] for j in loc_pos)
+
+    # My device-bit values (traced scalars, one per device-bit qubit).
+    myvals = [_device_bit(axis_name, qubits[j] - k) for j in dev_pos]
+
+    # Gate-subspace bit weights.
+    dev_weight = [1 << (m - 1 - j) for j in dev_pos]
+    loc_out_offsets = np.zeros(1 << p, dtype=np.int32)
+    for lo in range(1 << p):
+        s = 0
+        for t, j in enumerate(loc_pos):
+            s |= ((lo >> (p - 1 - t)) & 1) << (m - 1 - j)
+        loc_out_offsets[lo] = s
+    loc_in_offsets = loc_out_offsets  # same layout for input subindex
+
+    offsets = nonzero_offsets(U, qubits, k)
+    u_const = jnp.asarray(U.astype(dense._np_dtype(shard.dtype)))
+
+    def block_for(x: int):
+        """W_x as a traced (2^p, 2^p) matrix (gathered from constant U)."""
+        base_out = sum(
+            (mv * w for mv, w in zip(myvals, dev_weight)),
+            start=jnp.int32(0),
+        )
+        base_in = sum(
+            (
+                (mv ^ ((x >> (r - 1 - t)) & 1)) * dev_weight[t]
+                for t, mv in enumerate(myvals)
+            ),
+            start=jnp.int32(0),
+        )
+        rows = base_out + jnp.asarray(loc_out_offsets)
+        cols = base_in + jnp.asarray(loc_in_offsets)
+        return u_const[rows[:, None], cols[None, :]]
+
+    def mesh_mask(x: int) -> int:
+        mm = 0
+        for t, j in enumerate(dev_pos):
+            if (x >> (r - 1 - t)) & 1:
+                mm |= 1 << (qubits[j] - k)
+        return mm
+
+    acc = None
+    for x in offsets:
+        if x == 0:
+            data = shard
+        else:
+            data = lax.ppermute(shard, axis_name, _xor_perm(n_dev, mesh_mask(x)))
+        W = block_for(x)
+        if p == 0:
+            contrib = W[0, 0] * data
+        else:
+            contrib = dense.apply_mq(data, loc_qubits, W)
+        acc = contrib if acc is None else acc + contrib
+    return acc
+
+
+# ---------------------------------------------------------------------------
+# Traffic accounting (scheduler cost model / stats)
+# ---------------------------------------------------------------------------
+
+def exchange_cost(U: np.ndarray, qubits: tuple[int, ...], k: int) -> int:
+    """Number of ppermute rounds this gate costs at shard width 2^k."""
+    if all(q < k for q in qubits):
+        return 0
+    return sum(1 for x in nonzero_offsets(np.asarray(U), tuple(qubits), k) if x != 0)
