@@ -116,7 +116,7 @@ def fuse_1q_ops(ops: list[GateOp]) -> list[GateOp]:
 # ---------------------------------------------------------------------------
 
 def pack_low_panels(
-    ops: list, panel_width: int, min_fuse: int = 3,
+    ops: list, panel_width: int, min_fuse: int = 2,
 ) -> list:
     """Greedily fuse consecutive ops with all qubits < panel_width.
 
@@ -197,7 +197,7 @@ def compile_steps(
     *,
     use_fusion: bool = True,
     panel_width: int | None = None,
-    panel_min_fuse: int = 3,
+    panel_min_fuse: int = 2,
 ) -> list[Step]:
     """Full pipeline: validate -> levelize -> batch/fuse -> low-panel pack."""
     circuit_dict = validate_circuit_dict(circuit_dict)

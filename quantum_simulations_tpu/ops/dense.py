@@ -205,6 +205,182 @@ def apply_low_panel(psi: jnp.ndarray, W: np.ndarray) -> jnp.ndarray:
     return (x @ w.T).reshape(psi.size)
 
 
+def _expand_low_traced(qubits: tuple[int, ...], U, width: int):
+    """Traced-matrix version of :func:`expand_to_low_block` (jnp gather)."""
+    m = len(qubits)
+    dim = 1 << width
+    idx = np.arange(dim)
+    sub = np.zeros(dim, dtype=np.int32)
+    for j, q in enumerate(qubits):
+        sub |= ((idx >> q) & 1) << (m - 1 - j)
+    other_mask = (dim - 1) ^ sum(1 << q for q in qubits)
+    other = idx & other_mask
+    same = jnp.asarray(other[:, None] == other[None, :])
+    gathered = U[sub[:, None], sub[None, :]]
+    return jnp.where(same, gathered, jnp.zeros((), dtype=U.dtype))
+
+
+# ---------------------------------------------------------------------------
+# Layout-aware dispatch
+# ---------------------------------------------------------------------------
+#
+# TPU arrays tile the last dim to 128 lanes (and the second-to-last to 8
+# sublanes for f32).  A strided-plane view (R, 2, 2^q) for a gate on a
+# low qubit has a tiny trailing dim, and any intermediate materialised
+# in that layout pads catastrophically (measured: a single H on qubit 0
+# of an n=24 state costs 4.3 GB of temp HBM vs the 134 MB buffer).
+# Rule: a gate whose qubits are all >= LANE_QUBITS uses the plane path
+# (trailing dim >= 128); anything touching low qubits goes through a
+# 2^LANE_QUBITS-wide matmul on the MXU, where the lane dimension carries
+# qubits 0..6 natively.
+
+LANE_QUBITS = 7
+
+
+def _lane_width(psi_size: int, lane_bits: int | None) -> int:
+    m = int(np.log2(psi_size))
+    return min(LANE_QUBITS if lane_bits is None else lane_bits, m)
+
+
+def _lane_matmul(data: jnp.ndarray, L, lane: int) -> jnp.ndarray:
+    """Apply a 2^lane x 2^lane matrix over the low `lane` bits of data's
+    trailing dim (which must be a multiple of 2^lane)."""
+    dim = 1 << lane
+    shape = data.shape
+    x = data.reshape(shape[:-1] + (shape[-1] // dim, dim))
+    y = x @ L.T
+    return y.reshape(shape)
+
+
+def _gate_subspace_index(qubits, sel_pos, pattern_bits, m):
+    s = 0
+    for t, j in enumerate(sel_pos):
+        s |= pattern_bits[t] << (m - 1 - j)
+    return s
+
+
+def _general_plane_apply(psi, qubits: tuple[int, ...], U, lane: int):
+    """Gate with high-bit planes and (optionally) low-bit lane matmuls.
+
+    Decomposes the gate over its high qubits (>= lane): the state viewed
+    with one 2-axis per high qubit; each output plane is a sum over
+    input planes of either a scalar coefficient (no low qubits) or a
+    2^lane-wide lane matmul carrying the low-qubit block.  Structurally
+    zero blocks of constant matrices are skipped at trace time.
+    """
+    m = len(qubits)
+    is_const = isinstance(U, np.ndarray)
+    high_pos = [j for j, q in enumerate(qubits) if q >= lane]
+    low_pos = [j for j, q in enumerate(qubits) if q < lane]
+    high = [qubits[j] for j in high_pos]
+    low = tuple(qubits[j] for j in low_pos)
+    r, p = len(high), len(low)
+    assert r >= 1
+
+    # View: interleave a 2-axis at each high qubit (descending order).
+    order = sorted(range(r), key=lambda t: -high[t])
+    shape: list[int] = []
+    prev = int(np.log2(psi.size))
+    for t in order:
+        q = high[t]
+        shape.extend([1 << (prev - q - 1), 2])
+        prev = q
+    shape.append(1 << prev)
+    x = psi.reshape(shape)
+
+    def plane(bits: tuple[int, ...]):
+        """bits[t] = value of high[t]; extract the (A0..A_{r-1}, C) plane."""
+        idx: list = [slice(None)]
+        for t in order:
+            idx.append(bits[t])
+            idx.append(slice(None))
+        return x[tuple(idx)]
+
+    patterns = [
+        tuple((s >> (r - 1 - t)) & 1 for t in range(r)) for s in range(1 << r)
+    ]
+
+    # Low-subspace index offsets (big-endian over `low` appearance order).
+    lo_off = np.zeros(1 << p, dtype=np.int64)
+    for ls in range(1 << p):
+        lo_off[ls] = _gate_subspace_index(
+            qubits, low_pos, [(ls >> (p - 1 - t)) & 1 for t in range(p)], m
+        )
+
+    u_np = U if is_const else None
+
+    def block(a_out: tuple[int, ...], a_in: tuple[int, ...]):
+        """(is_zero, operator applied to a plane) for this high-bit pair."""
+        ro = _gate_subspace_index(qubits, high_pos, a_out, m)
+        ci = _gate_subspace_index(qubits, high_pos, a_in, m)
+        if p == 0:
+            c = u_np[ro, ci] if is_const else U[ro, ci]
+            if is_const and c == 0:
+                return None
+            return lambda d: d if (is_const and c == 1) else c * d
+        if is_const:
+            sub = u_np[np.ix_(ro + lo_off, ci + lo_off)]
+            if not sub.any():
+                return None
+            L = expand_to_low_block(low, sub, lane)
+            Lc = np.asarray(L, dtype=_np_dtype(psi.dtype))
+            return lambda d: _lane_matmul(d, jnp.asarray(Lc), lane)
+        sub = U[jnp.asarray(ro + lo_off)[:, None], jnp.asarray(ci + lo_off)[None, :]]
+        L = _expand_low_traced(low, sub, lane)
+        return lambda d: _lane_matmul(d, L, lane)
+
+    planes = {bits: plane(bits) for bits in patterns}
+    outs = {}
+    for a_out in patterns:
+        acc = None
+        for a_in in patterns:
+            op = block(a_out, a_in)
+            if op is None:
+                continue
+            term = op(planes[a_in])
+            acc = term if acc is None else acc + term
+        outs[a_out] = acc if acc is not None else jnp.zeros_like(planes[a_out])
+
+    # Reassemble: insert the bit axis for order[d] at axis d+1, deepest first.
+    def assemble(prefix: tuple[int, ...], depth: int):
+        if depth == r:
+            # prefix is in `order` sequence; map back to high[t] order.
+            bits = [0] * r
+            for d2, t in enumerate(order):
+                bits[t] = prefix[d2]
+            return outs[tuple(bits)]
+        a = assemble(prefix + (0,), depth + 1)
+        b = assemble(prefix + (1,), depth + 1)
+        return jnp.stack((a, b), axis=depth + 1)
+
+    return assemble((), 0).reshape(psi.size)
+
+
+def apply_gate(psi: jnp.ndarray, qubits: tuple[int, ...], U, *, lane_bits: int | None = None) -> jnp.ndarray:
+    """TPU-layout-aware gate application (the production dispatcher).
+
+    * all qubits < lane  -> one 2^lane-wide MXU matmul
+    * all qubits >= lane -> strided-plane elementwise path
+    * mixed              -> high-bit plane decomposition with lane
+                            matmuls carrying the low-qubit block
+    """
+    lane = _lane_width(psi.size, lane_bits)
+    qubits = tuple(qubits)
+    low = [q for q in qubits if q < lane]
+    high = [q for q in qubits if q >= lane]
+    if not low:
+        if len(qubits) <= 2:
+            return apply_mq(psi, qubits, U)
+        return _general_plane_apply(psi, qubits, U, lane)
+    if not high:
+        if isinstance(U, np.ndarray):
+            W = expand_to_low_block(qubits, U, lane)
+        else:
+            W = _expand_low_traced(qubits, U, lane)
+        return apply_low_panel(psi, W)
+    return _general_plane_apply(psi, qubits, U, lane)
+
+
 def zero_state(m: int, dtype=jnp.complex64) -> jnp.ndarray:
     psi = jnp.zeros(1 << m, dtype=dtype)
     return psi.at[0].set(1.0)

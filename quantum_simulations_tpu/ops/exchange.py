@@ -155,7 +155,7 @@ def apply_nonlocal(
         if p == 0:
             contrib = W[0, 0] * data
         else:
-            contrib = dense.apply_mq(data, loc_qubits, W)
+            contrib = dense.apply_gate(data, loc_qubits, W)
         acc = contrib if acc is None else acc + contrib
     return acc
 

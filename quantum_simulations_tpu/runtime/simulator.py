@@ -27,7 +27,7 @@ def apply_local_ops(psi: jnp.ndarray, ops: list) -> jnp.ndarray:
         if isinstance(op, LowPanelOp):
             psi = dense.apply_low_panel(psi, op.W)
         else:
-            psi = dense.apply_mq(psi, op.qubits, op.U)
+            psi = dense.apply_gate(psi, op.qubits, op.U)
     return psi
 
 

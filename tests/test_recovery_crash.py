@@ -1,0 +1,225 @@
+"""Durability tests: WAL, double buffer, fencing, REAL crash injection.
+
+Parity with the reference's crash pyramid (wenbo_engine/tests/
+test_recovery_crash.py): crashes are real subprocess hard-exits via the
+QST_CRASH_AFTER_STEP env hook (os._exit(1) after the buffer write but
+before the WAL commit — the worst possible interruption point), then
+recovery must converge to the oracle state.
+"""
+import json
+import os
+import subprocess
+import sys
+import textwrap
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from quantum_simulations_tpu.circuit import library as lib
+from quantum_simulations_tpu.oracle import dense_numpy as oracle
+from quantum_simulations_tpu.runtime import runner
+from quantum_simulations_tpu.runtime.wal import (
+    WAL, FencingError, FencingLock, WALMismatchError,
+)
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _run_subprocess(cd, work_dir, crash_after=None, extra=""):
+    """Run the runner in a fresh process (real crash isolation)."""
+    script = textwrap.dedent(f"""
+        import os, sys, json
+        sys.path.insert(0, {str(REPO)!r})
+        os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+        from quantum_simulations_tpu.runtime import runner
+        cd = json.loads({json.dumps(cd)!r})
+        {extra}
+        # use_fusion=False => one step per level, so there are several
+        # WAL commits to crash between.
+        runner.run(cd, {str(work_dir)!r}, dtype="complex128",
+                   checkpoint_every=1, use_fusion=False)
+        print("COMPLETED")
+    """)
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    if crash_after is not None:
+        env[runner.CRASH_ENV] = str(crash_after)
+    else:
+        env.pop(runner.CRASH_ENV, None)
+    return subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True, env=env,
+    )
+
+
+@pytest.fixture
+def cd():
+    # GHZ(6): 6 dependency levels; with fusion disabled the runner takes
+    # one step per level, so crash injection has commits to land between.
+    return lib.ghz(6)
+
+
+def test_clean_run_and_collect(tmp_path, cd):
+    runner.run(cd, tmp_path, dtype="complex128")
+    got = runner.collect_state(tmp_path)
+    np.testing.assert_allclose(got, oracle.simulate(cd), atol=1e-10)
+    wal = json.loads((tmp_path / "wal.json").read_text())
+    assert wal["done_steps"] > 0
+
+
+def test_crash_then_recover_converges(tmp_path, cd):
+    res = _run_subprocess(cd, tmp_path, crash_after=1)
+    assert res.returncode == 1, res.stderr
+    assert "COMPLETED" not in res.stdout
+
+    wal = json.loads((tmp_path / "wal.json").read_text())
+    assert wal["done_steps"] <= 2  # crashed before committing step >= 1
+
+    res = _run_subprocess(cd, tmp_path)  # recover = rerun
+    assert res.returncode == 0, res.stderr
+    got = runner.collect_state(tmp_path)
+    np.testing.assert_allclose(got, oracle.simulate(cd), atol=1e-10)
+
+
+def test_crash_at_step_zero_leaves_wal_empty(tmp_path, cd):
+    res = _run_subprocess(cd, tmp_path, crash_after=0)
+    assert res.returncode == 1
+    wal = json.loads((tmp_path / "wal.json").read_text())
+    assert wal["done_steps"] == 0
+    assert wal["committed_buf"] is None
+    # Recovery from scratch (same plan flags as the crashed run).
+    runner.recover(cd, tmp_path, dtype="complex128", use_fusion=False)
+    np.testing.assert_allclose(
+        runner.collect_state(tmp_path), oracle.simulate(cd), atol=1e-10
+    )
+
+
+def test_repeated_crashes_make_progress(tmp_path, cd):
+    for crash_at in (0, 1, 2, 3):
+        res = _run_subprocess(cd, tmp_path, crash_after=crash_at)
+        assert res.returncode == 1
+    res = _run_subprocess(cd, tmp_path)
+    assert res.returncode == 0, res.stderr
+    np.testing.assert_allclose(
+        runner.collect_state(tmp_path), oracle.simulate(cd), atol=1e-10
+    )
+
+
+def test_double_buffer_alternates(tmp_path, cd):
+    # Multiple steps (fusion off) must alternate the a/b buffer files.
+    runner.run(cd, tmp_path, dtype="complex128", use_fusion=False)
+    assert (tmp_path / "state_a.npy").exists()
+    assert (tmp_path / "state_b.npy").exists()
+
+
+def test_resume_is_noop_when_complete(tmp_path, cd):
+    runner.run(cd, tmp_path, dtype="complex128")
+    before = json.loads((tmp_path / "wal.json").read_text())
+    runner.run(cd, tmp_path, dtype="complex128")  # no-op resume
+    after = json.loads((tmp_path / "wal.json").read_text())
+    assert before == after
+
+
+def test_wal_hash_mismatch_raises(tmp_path, cd):
+    runner.run(cd, tmp_path, dtype="complex128")
+    other = lib.qft(6)
+    with pytest.raises(WALMismatchError):
+        runner.run(other, tmp_path, dtype="complex128")
+
+
+def test_checkpoint_cadence(tmp_path, cd):
+    runner.run(cd, tmp_path, dtype="complex128", checkpoint_every=3)
+    got = runner.collect_state(tmp_path)
+    np.testing.assert_allclose(got, oracle.simulate(cd), atol=1e-10)
+    wal = json.loads((tmp_path / "wal.json").read_text())
+    assert wal["done_steps"] > 0
+
+
+def test_no_wal_mode(tmp_path, cd):
+    runner.run(cd, tmp_path / "nw", dtype="complex128", use_wal=False)
+    got = runner.collect_state(tmp_path / "nw")
+    np.testing.assert_allclose(got, oracle.simulate(cd), atol=1e-10)
+
+
+def test_empty_circuit(tmp_path):
+    cd = {"number_of_qubits": 3, "gates": []}
+    runner.run(cd, tmp_path, dtype="complex128")
+    got = runner.collect_state(tmp_path)
+    want = np.zeros(8, dtype=complex)
+    want[0] = 1
+    np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+def test_sharded_runner(tmp_path, cd):
+    from quantum_simulations_tpu.parallel import mesh as M
+    mesh = M.make_mesh(4)
+    runner.run(cd, tmp_path, mesh=mesh, dtype="complex128")
+    np.testing.assert_allclose(
+        runner.collect_state(tmp_path), oracle.simulate(cd), atol=1e-10
+    )
+
+
+# ---------------------------------------------------------------------------
+# WAL unit behaviour
+# ---------------------------------------------------------------------------
+
+def test_wal_out_of_order_commit_rejected(tmp_path, cd):
+    wal = WAL(tmp_path / "wal.json", cd)
+    wal.commit_step(0, "a")
+    with pytest.raises(ValueError):
+        wal.commit_step(2, "b")
+
+
+def test_wal_persistence_roundtrip(tmp_path, cd):
+    wal = WAL(tmp_path / "wal.json", cd)
+    wal.commit_step(0, "a")
+    wal.commit_step(1, "b")
+    wal2 = WAL(tmp_path / "wal.json", cd)
+    assert wal2.done_steps == 2
+    assert wal2.committed_buf == "b"
+
+
+# ---------------------------------------------------------------------------
+# Fencing
+# ---------------------------------------------------------------------------
+
+def test_fencing_blocks_second_acquirer(tmp_path):
+    lock = FencingLock(tmp_path).acquire()
+    with pytest.raises(FencingError):
+        FencingLock(tmp_path).acquire()
+    lock.release()
+    FencingLock(tmp_path).acquire().release()
+
+
+def test_fencing_context_manager(tmp_path):
+    with FencingLock(tmp_path):
+        assert (tmp_path / "runner.lock").exists()
+    assert not (tmp_path / "runner.lock").exists()
+
+
+def test_fencing_breaks_dead_pid_lock(tmp_path):
+    # Fake a lock held by a dead pid on this host.
+    import socket
+    (tmp_path / "runner.lock").write_text(json.dumps({
+        "pid": 2**22 + 12345, "host": socket.gethostname(), "ts": 0,
+    }))
+    FencingLock(tmp_path).acquire().release()  # must break the stale lock
+
+
+def test_fencing_respects_remote_fresh_lock(tmp_path):
+    import time
+    (tmp_path / "runner.lock").write_text(json.dumps({
+        "pid": 1, "host": "other-host", "ts": time.time(),
+    }))
+    with pytest.raises(FencingError):
+        FencingLock(tmp_path).acquire()
+
+
+def test_fencing_breaks_remote_stale_lock(tmp_path):
+    (tmp_path / "runner.lock").write_text(json.dumps({
+        "pid": 1, "host": "other-host", "ts": 0,
+    }))
+    FencingLock(tmp_path).acquire().release()
