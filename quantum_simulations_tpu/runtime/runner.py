@@ -59,19 +59,49 @@ def run(
     use_fencing: bool = False,
     use_fusion: bool = True,
     panel_width: int | None = 7,
+    use_staging: bool = False,
+    staging_method: str = "auto",
     checkpoint_every: int = 1,
     resume: bool = True,
 ) -> Path:
     """Run a circuit with durability; returns the work dir.
 
     The final state is in the buffer named by the WAL's
-    ``committed_buf`` (read it back with :func:`collect_state`).
+    ``committed_buf`` (read it back with :func:`collect_state`, which
+    also undoes the staging qubit permutation when staging was used).
+
+    ``staging_method='auto'`` schedules with the heuristic reorderer
+    and keeps the staged circuit only if it actually reduces exchange
+    rounds — circuits dominated by diagonal/control-structured
+    non-local gates (e.g. QFT's CR ladder) already cost zero traffic
+    through the runtime exchange planner and are left alone.
     """
     cd = validate_circuit_dict(circuit_dict)
     work_dir = Path(work_dir)
     work_dir.mkdir(parents=True, exist_ok=True)
     if mesh is None:
         mesh = M.make_mesh(1)
+
+    log2phys = None
+    if use_staging and mesh.size > 1:
+        from ..circuit import staging as S
+
+        n = cd["number_of_qubits"]
+        k = M.shard_width(mesh, n)
+        method = staging_method
+        if method == "auto":
+            stats = S.staging_stats(cd, k, "heuristic")
+            if stats["exchanges_staged"] < stats["exchanges_unstaged"]:
+                method = "heuristic"
+            else:
+                method = None
+        if method:
+            cd, log2phys, _ = S.stage_circuit(cd, k, method)
+            if log2phys == list(range(n)):
+                log2phys = None
+    atomic_write_json(work_dir / "qubit_mapping.json", {
+        "log2phys": log2phys if log2phys else None,
+    })
 
     lock = FencingLock(work_dir) if use_fencing else None
     if lock:
@@ -163,12 +193,24 @@ def recover(circuit_dict: dict, work_dir, **kw) -> Path:
     return run(circuit_dict, work_dir, resume=True, **kw)
 
 
-def collect_state(work_dir) -> np.ndarray:
-    """Read the final committed state from a finished run's work dir."""
+def collect_state(work_dir, *, apply_permutation: bool = True) -> np.ndarray:
+    """Read the final committed state from a finished run's work dir.
+
+    Undoes the staging qubit permutation (recorded in
+    qubit_mapping.json) unless ``apply_permutation=False``.
+    """
     work_dir = Path(work_dir)
     wal_path = work_dir / "wal.json"
     if wal_path.exists():
         buf = json.loads(wal_path.read_text())["committed_buf"]
     else:
         buf = json.loads((work_dir / "result.json").read_text())["committed_buf"]
-    return _load_state(work_dir, buf)
+    psi = _load_state(work_dir, buf)
+    mapping_path = work_dir / "qubit_mapping.json"
+    if apply_permutation and mapping_path.exists():
+        l2p = json.loads(mapping_path.read_text()).get("log2phys")
+        if l2p:
+            from ..circuit.staging import permute_state
+
+            psi = permute_state(psi, l2p)
+    return psi
