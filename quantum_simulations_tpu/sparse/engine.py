@@ -1,0 +1,171 @@
+"""Sparse statevector engine — GHZ/W-class circuits far beyond dense reach.
+
+Capability parity with the reference's sparse tiers (v1 SQLite rows,
+v2/v3 Spark DataFrames with 63-qubit GHZ / 200-qubit W / 1000-qubit
+GHZ headline numbers, ``v2_spark/README.md:101-106``,
+``v3_hisvsim_spark/TECHNICAL.md:432-438``): the state is a set of
+(index, amplitude) pairs; a gate expands each amplitude into its
+out-pattern contributions (zero matrix entries elided), merges
+duplicates, and prunes below threshold.
+
+Two tiers:
+* **numpy COO** (index dtype int64) — vectorised gather/segment-sum,
+  n <= 62.  This replaces v2's broadcast-join + groupBy Spark plan
+  with two numpy kernel calls per gate.
+* **bigint dict** — arbitrary-precision Python ints, n is unbounded
+  (1000-qubit GHZ in milliseconds, not the reference's ~5 minutes).
+
+Dispatch is automatic on n.  Dense export is available for n small
+enough, and the dual-representation tests cross-check against the
+dense oracle.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..circuit import gates as G
+from ..circuit.contract import validate_circuit_dict
+
+NUMPY_MAX_QUBITS = 62
+DEFAULT_THRESHOLD = 1e-15
+
+
+class SparseState:
+    """Final state as a mapping index -> complex amplitude."""
+
+    def __init__(self, n: int, items: dict):
+        self.n = n
+        self._items = items
+
+    def __len__(self) -> int:
+        return len(self._items)
+
+    def items(self):
+        return self._items.items()
+
+    def amplitude(self, idx: int) -> complex:
+        return complex(self._items.get(idx, 0.0))
+
+    def norm(self) -> float:
+        return float(np.sqrt(sum(abs(a) ** 2 for a in self._items.values())))
+
+    def to_dense(self) -> np.ndarray:
+        if self.n > 26:
+            raise ValueError(f"refusing dense export of 2^{self.n} amplitudes")
+        out = np.zeros(1 << self.n, dtype=np.complex128)
+        for i, a in self._items.items():
+            out[i] = a
+        return out
+
+    def top_amplitudes(self, k: int = 16):
+        return sorted(self._items.items(), key=lambda kv: -abs(kv[1]))[:k]
+
+
+# ---------------------------------------------------------------------------
+# numpy COO tier (n <= 62)
+# ---------------------------------------------------------------------------
+
+def _apply_gate_coo(idx: np.ndarray, amp: np.ndarray, qubits, U, threshold):
+    m = len(qubits)
+    dim = 1 << m
+    clear_mask = np.int64(0)
+    for q in qubits:
+        clear_mask |= np.int64(1) << q
+    base = idx & ~clear_mask
+
+    # in-subspace pattern of each amplitude (big-endian over `qubits`).
+    in_pat = np.zeros(len(idx), dtype=np.int64)
+    for j, q in enumerate(qubits):
+        in_pat |= ((idx >> q) & 1) << (m - 1 - j)
+
+    out_idx_parts = []
+    out_amp_parts = []
+    for o in range(dim):
+        offs = np.int64(0)
+        for j, q in enumerate(qubits):
+            if (o >> (m - 1 - j)) & 1:
+                offs |= np.int64(1) << q
+        coeffs = U[o]  # row o: coefficient per in-pattern
+        nz_in = np.nonzero(coeffs)[0]
+        if len(nz_in) == 0:
+            continue
+        sel = np.isin(in_pat, nz_in)
+        if not sel.any():
+            continue
+        out_idx_parts.append(base[sel] | offs)
+        out_amp_parts.append(coeffs[in_pat[sel]] * amp[sel])
+
+    all_idx = np.concatenate(out_idx_parts)
+    all_amp = np.concatenate(out_amp_parts)
+    uniq, inv = np.unique(all_idx, return_inverse=True)
+    merged = np.zeros(len(uniq), dtype=np.complex128)
+    np.add.at(merged, inv, all_amp)
+    keep = np.abs(merged) > threshold
+    return uniq[keep], merged[keep]
+
+
+# ---------------------------------------------------------------------------
+# bigint dict tier (any n)
+# ---------------------------------------------------------------------------
+
+def _apply_gate_dict(state: dict, qubits, U, threshold):
+    m = len(qubits)
+    out: dict = {}
+    nz = {
+        o: [(i, U[o, i]) for i in range(1 << m) if U[o, i] != 0]
+        for o in range(1 << m)
+    }
+    clear_mask = 0
+    for q in qubits:
+        clear_mask |= 1 << q
+    offsets = []
+    for o in range(1 << m):
+        offs = 0
+        for j, q in enumerate(qubits):
+            if (o >> (m - 1 - j)) & 1:
+                offs |= 1 << q
+        offsets.append(offs)
+
+    for idx, a in state.items():
+        in_pat = 0
+        for j, q in enumerate(qubits):
+            in_pat |= ((idx >> q) & 1) << (m - 1 - j)
+        base = idx & ~clear_mask
+        for o in range(1 << m):
+            c = U[o, in_pat]
+            if c == 0:
+                continue
+            t = base | offsets[o]
+            v = out.get(t, 0.0) + c * a
+            out[t] = v
+    return {i: a for i, a in out.items() if abs(a) > threshold}
+
+
+# ---------------------------------------------------------------------------
+# Driver
+# ---------------------------------------------------------------------------
+
+def simulate_sparse(
+    circuit_dict: dict,
+    *,
+    threshold: float = DEFAULT_THRESHOLD,
+    force_tier: str | None = None,
+) -> SparseState:
+    """Run a circuit sparsely; returns a :class:`SparseState`."""
+    cd = validate_circuit_dict(circuit_dict)
+    n = cd["number_of_qubits"]
+    tier = force_tier or ("numpy" if n <= NUMPY_MAX_QUBITS else "bigint")
+
+    if tier == "numpy":
+        idx = np.zeros(1, dtype=np.int64)
+        amp = np.ones(1, dtype=np.complex128)
+        for g in cd["gates"]:
+            U = G.gate_matrix(g["gate"], g["params"])
+            idx, amp = _apply_gate_coo(idx, amp, g["qubits"], U, threshold)
+        return SparseState(n, dict(zip((int(i) for i in idx), amp)))
+
+    state = {0: 1.0 + 0.0j}
+    for g in cd["gates"]:
+        U = G.gate_matrix(g["gate"], g["params"])
+        state = _apply_gate_dict(state, g["qubits"], U, threshold)
+    return SparseState(n, state)

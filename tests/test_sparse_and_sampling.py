@@ -1,0 +1,148 @@
+"""Sparse-engine + sampling tests.
+
+Headline capability parity (v2/v3 Spark tiers): 1000-qubit GHZ,
+200-qubit W state, 63-bit index support, sparse==dense cross-checks.
+"""
+import math
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quantum_simulations_tpu.circuit import library as lib
+from quantum_simulations_tpu.oracle import dense_numpy as oracle
+from quantum_simulations_tpu.ops import sampling
+from quantum_simulations_tpu.sparse.engine import SparseState, simulate_sparse
+
+
+# ---------------------------------------------------------------------------
+# Sparse vs oracle (both tiers)
+# ---------------------------------------------------------------------------
+
+CIRCUITS = [
+    ("bell", lib.bell()),
+    ("ghz6", lib.ghz(6)),
+    ("qft5", lib.qft(5)),
+    ("w6", lib.w_state(6)),
+    ("random", lib.random_circuit(6, 40, seed=8)),
+]
+
+
+@pytest.mark.parametrize("tier", ["numpy", "bigint"])
+@pytest.mark.parametrize("tag,cd", CIRCUITS, ids=[c[0] for c in CIRCUITS])
+def test_sparse_matches_oracle(tier, tag, cd):
+    st = simulate_sparse(cd, force_tier=tier)
+    np.testing.assert_allclose(st.to_dense(), oracle.simulate(cd), atol=1e-10)
+
+
+def test_ghz_63_qubits_numpy_tier():
+    st = simulate_sparse(lib.ghz(62))
+    assert len(st) == 2
+    s = 1 / math.sqrt(2)
+    assert abs(st.amplitude(0) - s) < 1e-12
+    assert abs(st.amplitude((1 << 62) - 1) - s) < 1e-12
+
+
+def test_ghz_1000_qubits():
+    t0 = time.perf_counter()
+    st = simulate_sparse(lib.ghz(1000))
+    dt = time.perf_counter() - t0
+    assert len(st) == 2
+    all_ones = (1 << 1000) - 1
+    assert abs(st.amplitude(all_ones)) > 0.7
+    assert abs(st.norm() - 1.0) < 1e-9
+    assert dt < 60  # reference: ~5 minutes on Spark
+
+
+def test_w_200_qubits():
+    st = simulate_sparse(lib.w_state(200))
+    # Exactly 200 one-hot amplitudes of 1/sqrt(200).
+    assert len(st) == 200
+    for q in (0, 1, 199):
+        assert abs(st.amplitude(1 << q) - 1 / math.sqrt(200)) < 1e-9
+
+
+def test_sparse_pruning_threshold():
+    st = simulate_sparse(lib.hadamard_wall(10), threshold=1e-15)
+    assert len(st) == 1024
+    assert abs(st.norm() - 1.0) < 1e-9
+
+
+def test_top_amplitudes():
+    st = simulate_sparse(lib.ghz(5))
+    tops = st.top_amplitudes(2)
+    assert {i for i, _ in tops} == {0, 31}
+
+
+def test_dense_export_guard():
+    st = simulate_sparse(lib.ghz(40))
+    with pytest.raises(ValueError):
+        st.to_dense()
+
+
+# ---------------------------------------------------------------------------
+# Sampling / measurement
+# ---------------------------------------------------------------------------
+
+def _as_jnp(cd):
+    return jnp.asarray(oracle.simulate(cd), dtype=jnp.complex128)
+
+
+def test_probabilities_and_norm():
+    psi = _as_jnp(lib.ghz(4))
+    p = np.asarray(sampling.probabilities(psi))
+    assert abs(p.sum() - 1) < 1e-12
+    assert abs(p[0] - 0.5) < 1e-12 and abs(p[15] - 0.5) < 1e-12
+
+
+def test_expectation_z():
+    # GHZ: <Z0 Z1> = +1, <Z0> = 0.
+    psi = _as_jnp(lib.ghz(3))
+    assert abs(float(sampling.expectation_z(psi, [0, 1])) - 1.0) < 1e-10
+    assert abs(float(sampling.expectation_z(psi, [0]))) < 1e-10
+    # |1> state: <Z> = -1.
+    psi1 = jnp.asarray([0.0, 1.0], dtype=jnp.complex128)
+    assert abs(float(sampling.expectation_z(psi1, [0])) + 1.0) < 1e-12
+
+
+def test_qubit_probability_and_project():
+    psi = _as_jnp(lib.ghz(3))
+    assert abs(float(sampling.qubit_probability(psi, 1)) - 0.5) < 1e-12
+    proj = sampling.project(psi, 1, 1)
+    got = np.asarray(proj)
+    want = np.zeros(8, dtype=complex)
+    want[7] = 1.0
+    np.testing.assert_allclose(got, want, atol=1e-10)
+
+
+def test_measure_collapses():
+    psi = _as_jnp(lib.ghz(3))
+    outcome, collapsed = sampling.measure_qubit(psi, 0, jax.random.PRNGKey(7))
+    got = np.asarray(collapsed)
+    idx = 7 if int(outcome) == 1 else 0
+    want = np.zeros(8, dtype=complex)
+    want[idx] = 1.0
+    np.testing.assert_allclose(got, want, atol=1e-10)
+
+
+def test_sampling_distribution():
+    psi = _as_jnp(lib.bell())
+    samples = np.asarray(sampling.sample(psi, jax.random.PRNGKey(0), 4000))
+    vals, counts = np.unique(samples, return_counts=True)
+    assert set(vals) <= {0, 3}
+    assert abs(counts[0] / 4000 - 0.5) < 0.05
+
+
+def test_sample_bits_layout():
+    # |q0=1, q1=0, q2=1> = index 5.
+    psi = jnp.zeros(8, dtype=jnp.complex128).at[5].set(1.0)
+    bits = np.asarray(sampling.sample_bits(psi, jax.random.PRNGKey(1), 8, 3))
+    assert (bits == np.array([1, 0, 1], dtype=np.int8)).all()
+
+
+def test_fidelity_phase_invariant():
+    psi = _as_jnp(lib.qft(4))
+    rotated = psi * np.exp(0.7j)
+    assert abs(float(sampling.fidelity(psi, rotated)) - 1.0) < 1e-10
