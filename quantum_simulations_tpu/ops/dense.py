@@ -381,6 +381,22 @@ def apply_gate(psi: jnp.ndarray, qubits: tuple[int, ...], U, *, lane_bits: int |
     return _general_plane_apply(psi, qubits, U, lane)
 
 
+def rotate_bits_right(psi: jnp.ndarray, r: int) -> jnp.ndarray:
+    """Cyclically rotate index-bit positions down by r: new bit j = old bit (j+r) mod n.
+
+    Equivalently the low r bits move to the top.  As an array op this is
+    a single (2^(n-r), 2^r) transpose — both dims large for sane r, so
+    it is one well-laid-out HBM pass on TPU.  This is the engine of the
+    rotating-panel schedule: after the rotation, the qubits that were at
+    positions r..r+6 occupy the 128-lane window [0, 7).
+    """
+    n = int(np.log2(psi.size))
+    r %= n
+    if r == 0:
+        return psi
+    return psi.reshape(1 << (n - r), 1 << r).T.reshape(psi.size)
+
+
 def zero_state(m: int, dtype=jnp.complex64) -> jnp.ndarray:
     psi = jnp.zeros(1 << m, dtype=dtype)
     return psi.at[0].set(1.0)

@@ -65,21 +65,76 @@ def build_circuit_fn(
     return jitted
 
 
+def build_panel_circuit_fn(
+    circuit_dict: dict,
+    *,
+    dtype=jnp.complex64,
+    window: int = 7,
+    donate: bool = True,
+):
+    """jitted fn(psi)->psi in rotating-panel form (see circuit/panelize.py).
+
+    The traced program is a short chain of 128-wide MXU matmuls and
+    bit-rotation transposes — near-bandwidth per pass AND a tiny HLO,
+    so it compiles orders of magnitude faster than a per-gate unroll.
+    """
+    from ..circuit.panelize import (
+        PanelOp, PhysGateOp, RotateOp, compile_panel_schedule,
+    )
+
+    cd = validate_circuit_dict(circuit_dict)
+    n = cd["number_of_qubits"]
+    key = ("panel", circuit_hash(cd), jnp.dtype(dtype).name, window, donate)
+    cached = _COMPILE_CACHE.get(key)
+    if cached is not None:
+        return cached
+
+    ops, shift = compile_panel_schedule(cd, window=window)
+
+    def fn(psi):
+        for op in ops:
+            if isinstance(op, PanelOp):
+                psi = dense.apply_low_panel(psi, op.W)
+            elif isinstance(op, RotateOp):
+                psi = dense.rotate_bits_right(psi, op.r)
+            else:
+                psi = dense.apply_gate(psi, op.qubits, op.U)
+        if shift % n:
+            psi = dense.rotate_bits_right(psi, (n - shift) % n)
+        return psi
+
+    jitted = jax.jit(fn, donate_argnums=(0,) if donate else ())
+    _COMPILE_CACHE[key] = jitted
+    return jitted
+
+
 def simulate(
     circuit_dict: dict,
     *,
     dtype=jnp.complex64,
     use_fusion: bool = True,
     panel_width: int | None = 7,
+    mode: str = "fused",
     initial_state=None,
 ) -> jnp.ndarray:
-    """Run a circuit on one device, return the final statevector."""
+    """Run a circuit on one device, return the final statevector.
+
+    ``mode='fused'``: per-gate traced program (XLA fuses elementwise
+    chains).  ``mode='panel'``: rotating-panel schedule — fewer HBM
+    passes and a far smaller compiled program (the production mode for
+    deep circuits).
+    """
     cd = validate_circuit_dict(circuit_dict)
     n = cd["number_of_qubits"]
-    fn = build_circuit_fn(
-        cd, dtype=dtype, use_fusion=use_fusion, panel_width=panel_width,
-        donate=initial_state is None,
-    )
+    if mode == "panel":
+        fn = build_panel_circuit_fn(
+            cd, dtype=dtype, donate=initial_state is None,
+        )
+    else:
+        fn = build_circuit_fn(
+            cd, dtype=dtype, use_fusion=use_fusion, panel_width=panel_width,
+            donate=initial_state is None,
+        )
     if initial_state is None:
         psi = dense.zero_state(n, dtype)
     else:
