@@ -1,0 +1,129 @@
+"""Native host engine: build-on-first-use ctypes bindings.
+
+C++/OpenMP statevector kernels (see ``host_engine.cpp``) — the CPU
+performance tier.  The shared library is compiled once into
+``build/libqst_host.so`` with g++; if no toolchain is available the
+module degrades gracefully (``AVAILABLE = False``) and callers fall
+back to the numpy oracle.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+_HERE = Path(__file__).resolve().parent
+_SRC = _HERE / "host_engine.cpp"
+_BUILD = _HERE / "build"
+_SO = _BUILD / "libqst_host.so"
+
+_lib = None
+AVAILABLE = False
+BUILD_ERROR: str | None = None
+
+
+def _build() -> None:
+    _BUILD.mkdir(exist_ok=True)
+    cmd = [
+        "g++", "-O3", "-march=native", "-funroll-loops", "-std=c++17",
+        "-fopenmp", "-shared", "-fPIC", str(_SRC), "-o", str(_SO),
+    ]
+    subprocess.run(cmd, check=True, capture_output=True, text=True)
+
+
+def _load():
+    global _lib, AVAILABLE, BUILD_ERROR
+    if _lib is not None or BUILD_ERROR is not None:
+        return _lib
+    try:
+        if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+            _build()
+        lib = ctypes.CDLL(str(_SO))
+    except (OSError, subprocess.CalledProcessError) as e:
+        BUILD_ERROR = str(e)
+        return None
+    lib.qst_set_threads.argtypes = [ctypes.c_int]
+    lib.qst_num_threads.restype = ctypes.c_int
+    for name in ("qst_apply_1q_c64", "qst_apply_1q_c128"):
+        getattr(lib, name).argtypes = [
+            ctypes.c_void_p, ctypes.c_uint64, ctypes.c_int, ctypes.c_void_p,
+        ]
+    for name in ("qst_apply_2q_c64", "qst_apply_2q_c128"):
+        getattr(lib, name).argtypes = [
+            ctypes.c_void_p, ctypes.c_uint64, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p,
+        ]
+    for name in ("qst_apply_diag_c64", "qst_apply_diag_c128"):
+        getattr(lib, name).argtypes = [
+            ctypes.c_void_p, ctypes.c_uint64,
+            ctypes.POINTER(ctypes.c_int), ctypes.c_int, ctypes.c_void_p,
+        ]
+    lib.qst_norm2_c64.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
+    lib.qst_norm2_c64.restype = ctypes.c_double
+    lib.qst_norm2_c128.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
+    lib.qst_norm2_c128.restype = ctypes.c_double
+    _lib = lib
+    AVAILABLE = True
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def set_threads(n: int) -> None:
+    lib = _load()
+    if lib:
+        lib.qst_set_threads(n)
+
+
+def _suffix(psi: np.ndarray) -> str:
+    if psi.dtype == np.complex64:
+        return "c64"
+    if psi.dtype == np.complex128:
+        return "c128"
+    raise TypeError(f"unsupported dtype {psi.dtype}")
+
+
+def _ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.c_void_p)
+
+
+def apply_1q(psi: np.ndarray, q: int, U: np.ndarray) -> None:
+    """In-place 1q gate on a contiguous complex numpy buffer."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native engine unavailable: {BUILD_ERROR}")
+    U = np.ascontiguousarray(U, dtype=np.complex128)
+    getattr(lib, f"qst_apply_1q_{_suffix(psi)}")(_ptr(psi), psi.size, q, _ptr(U))
+
+
+def apply_2q(psi: np.ndarray, qa: int, qb: int, U: np.ndarray) -> None:
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native engine unavailable: {BUILD_ERROR}")
+    U = np.ascontiguousarray(U, dtype=np.complex128)
+    getattr(lib, f"qst_apply_2q_{_suffix(psi)}")(
+        _ptr(psi), psi.size, qa, qb, _ptr(U)
+    )
+
+
+def apply_diag(psi: np.ndarray, qubits: list[int], d: np.ndarray) -> None:
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native engine unavailable: {BUILD_ERROR}")
+    d = np.ascontiguousarray(d, dtype=np.complex128)
+    qarr = (ctypes.c_int * len(qubits))(*qubits)
+    getattr(lib, f"qst_apply_diag_{_suffix(psi)}")(
+        _ptr(psi), psi.size, qarr, len(qubits), _ptr(d)
+    )
+
+
+def norm2(psi: np.ndarray) -> float:
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native engine unavailable: {BUILD_ERROR}")
+    return float(getattr(lib, f"qst_norm2_{_suffix(psi)}")(_ptr(psi), psi.size))

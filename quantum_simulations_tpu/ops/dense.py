@@ -381,20 +381,38 @@ def apply_gate(psi: jnp.ndarray, qubits: tuple[int, ...], U, *, lane_bits: int |
     return _general_plane_apply(psi, qubits, U, lane)
 
 
+def _rotation_steps(r: int, n: int) -> list[int]:
+    """Decompose a bit rotation into steps whose transpose dims are all
+    >= 128 (r_i in [7, n-7]); a (2^a, 2^b) transpose with a tiny dim
+    pads catastrophically on TPU (measured 16x for (8, 2^25))."""
+    r %= n
+    if r == 0:
+        return []
+    if n < 16:
+        return [r]  # state too small for padding to matter
+    if 7 <= r <= n - 7:
+        return [r]
+    for a in range(7, n - 6):
+        b = (r - a) % n
+        if 0 < b and 7 <= b <= n - 7:
+            return [a, b]
+    return [r]  # unreachable for n >= 14
+
+
 def rotate_bits_right(psi: jnp.ndarray, r: int) -> jnp.ndarray:
     """Cyclically rotate index-bit positions down by r: new bit j = old bit (j+r) mod n.
 
-    Equivalently the low r bits move to the top.  As an array op this is
-    a single (2^(n-r), 2^r) transpose — both dims large for sane r, so
-    it is one well-laid-out HBM pass on TPU.  This is the engine of the
-    rotating-panel schedule: after the rotation, the qubits that were at
-    positions r..r+6 occupy the 128-lane window [0, 7).
+    Equivalently the low r bits move to the top.  Each step is a
+    (2^(n-r_i), 2^r_i) transpose — one well-laid-out HBM pass; extreme
+    rotations are decomposed so both transpose dims stay >= 128.  This
+    is the engine of the rotating-panel schedule: after a rotation by
+    r, the qubits that were at positions r..r+6 occupy the 128-lane
+    window [0, 7).
     """
     n = int(np.log2(psi.size))
-    r %= n
-    if r == 0:
-        return psi
-    return psi.reshape(1 << (n - r), 1 << r).T.reshape(psi.size)
+    for step in _rotation_steps(r, n):
+        psi = psi.reshape(1 << (n - step), 1 << step).T.reshape(psi.size)
+    return psi
 
 
 def zero_state(m: int, dtype=jnp.complex64) -> jnp.ndarray:

@@ -1,0 +1,187 @@
+"""Out-of-core runner: states beyond HBM, streamed through the device.
+
+The TPU analogue of the reference's out-of-core engine
+(``wenbo_engine/runner/single_node.py`` + ``runner/pipeline.py``): the
+amplitude vector lives in host DRAM (or on disk in chunk files) and
+streams through the chip in stripes of 2^m amplitudes.
+
+Key idea for cross-stripe ("non-local") gates — **stack-and-relabel**:
+a step whose non-local gates touch stripe-index bits B loads the whole
+2^|B| stripe group as ONE device array of 2^(m+|B|) amplitudes in
+which bit m+t carries group bit B[t]; every gate then becomes a plain
+*local* gate with remapped qubit indices, applied by the standard
+layout-aware engine.  The reference needs four dedicated butterfly
+kernel cases (``wenbo_engine/kernel/cpu_nonlocal.py``); here the local
+engine subsumes them all.
+
+Durability: same step-WAL + a/b double-buffer as the in-HBM runner;
+``QST_CRASH_AFTER_STRIPE`` hard-kills after N stripe writes for crash
+tests (the reference's WE_CRASH_AFTER_CHUNK analogue).
+"""
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..circuit.contract import validate_circuit_dict
+from ..circuit.fusion import GateOp, Step, compile_steps
+from .chunk_store import DiskBuffer, HostBuffer
+from .simulator import apply_local_ops
+from .wal import WAL
+
+CRASH_ENV = "QST_CRASH_AFTER_STRIPE"
+
+
+def _group_bits(step: Step, m: int) -> list[int]:
+    bits: set[int] = set()
+    for op in step.nonlocal_ops:
+        for q in op.qubits:
+            if q >= m:
+                bits.add(q - m)
+    return sorted(bits)
+
+
+def _remap_ops(step: Step, m: int, bits: list[int]) -> list:
+    """All of a step's ops as local ops on the stacked 2^(m+r) array."""
+    pos = {b: m + t for t, b in enumerate(bits)}
+    out = list(step.local_ops)
+    for op in step.nonlocal_ops:
+        qs = tuple(q if q < m else pos[q - m] for q in op.qubits)
+        out.append(GateOp(qubits=qs, U=op.U, name=op.name))
+    return out
+
+
+class _FnCache:
+    """jit cache keyed by the op-list identity of a step."""
+
+    def __init__(self, dtype):
+        self.dtype = dtype
+        self._cache: dict = {}
+
+    def get(self, key, ops, size):
+        hit = self._cache.get(key)
+        if hit is not None:
+            return hit
+        fn = jax.jit(
+            lambda psi: apply_local_ops(psi, ops), donate_argnums=(0,)
+        )
+        self._cache[key] = fn
+        return fn
+
+
+def run_out_of_core(
+    circuit_dict: dict,
+    *,
+    stripe_qubits: int,
+    backend: str = "host",
+    work_dir=None,
+    dtype="complex64",
+    use_wal: bool = None,
+    use_fusion: bool = True,
+    panel_width: int | None = 7,
+) -> np.ndarray | Path:
+    """Simulate with the state held outside HBM.
+
+    backend='host': amplitudes in host DRAM (returns the final numpy
+    state).  backend='disk': chunk files under ``work_dir`` with WAL +
+    double buffer (returns the work dir; read with
+    :func:`collect_state`).
+    """
+    cd = validate_circuit_dict(circuit_dict)
+    n = cd["number_of_qubits"]
+    m = min(stripe_qubits, n)
+    steps = compile_steps(cd, k=m, use_fusion=use_fusion, panel_width=panel_width)
+    cache = _FnCache(dtype)
+    crash_after = int(os.environ.get(CRASH_ENV, "-1"))
+    writes = 0
+
+    if backend == "host":
+        src = HostBuffer(n, m, dtype=np.dtype(dtype))
+        dst = HostBuffer(n, m, dtype=np.dtype(dtype), init_zero_state=False)
+        wal = None
+        start = 0
+    elif backend == "disk":
+        if work_dir is None:
+            raise ValueError("disk backend requires work_dir")
+        work_dir = Path(work_dir)
+        work_dir.mkdir(parents=True, exist_ok=True)
+        plan = f"ooc,m={m},fusion={use_fusion},steps={len(steps)}"
+        if use_wal is None:
+            use_wal = True
+        wal = WAL(work_dir / "wal.json", cd, plan=plan) if use_wal else None
+        bufs = {}
+        for name in ("a", "b"):
+            path = work_dir / f"buf_{name}"
+            if (path / "manifest.json").exists():
+                bufs[name] = DiskBuffer.open(path)
+            else:
+                bufs[name] = DiskBuffer(path, n, m)
+        start = wal.done_steps if wal else 0
+        committed = (wal.committed_buf if wal else None) or "a"
+        src, dst = bufs[committed], bufs["a" if committed == "b" else "b"]
+    else:
+        raise ValueError(f"unknown backend {backend!r}")
+
+    def _write_stripe(buf, s, arr):
+        nonlocal writes
+        buf.write(s, np.asarray(arr))
+        writes += 1
+        if 0 <= crash_after < writes:
+            os._exit(1)
+
+    for step_idx in range(start, len(steps)):
+        step = steps[step_idx]
+        bits = _group_bits(step, m)
+        r = len(bits)
+        ops = _remap_ops(step, m, bits)
+        key = (step_idx,)
+        fn = cache.get(key, ops, 1 << (m + r))
+
+        if r == 0:
+            for s in range(src.n_stripes):
+                out = fn(jnp.asarray(src.read(s), dtype=dtype))
+                _write_stripe(dst, s, out)
+        else:
+            group_masks = [1 << b for b in bits]
+            free_bits = [b for b in range(n - m) if b not in bits]
+            for base_sel in range(1 << len(free_bits)):
+                base = 0
+                for t, b in enumerate(free_bits):
+                    if (base_sel >> t) & 1:
+                        base |= 1 << b
+                members = []
+                for pat in range(1 << r):
+                    s = base
+                    for t in range(r):
+                        if (pat >> t) & 1:
+                            s |= group_masks[t]
+                    members.append(s)
+                stacked = np.concatenate([src.read(s) for s in members])
+                out = np.asarray(fn(jnp.asarray(stacked, dtype=dtype)))
+                L = src.stripe_len
+                for j, s in enumerate(members):
+                    _write_stripe(dst, s, out[j * L:(j + 1) * L])
+
+        if wal:
+            dst.write_manifest()
+            name = "a" if dst is bufs["a"] else "b"
+            wal.commit_step(step_idx, name)
+        src, dst = dst, src
+
+    if backend == "host":
+        return src.to_array()  # src/dst swapped after last step
+    return work_dir
+
+
+def collect_state(work_dir) -> np.ndarray:
+    """Final state of a finished disk-backed run."""
+    import json
+
+    work_dir = Path(work_dir)
+    rec = json.loads((work_dir / "wal.json").read_text())
+    buf = rec["committed_buf"] or "a"
+    return DiskBuffer.open(work_dir / f"buf_{buf}").to_array()

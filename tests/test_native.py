@@ -1,0 +1,80 @@
+"""Native C++ host-engine tests (skip if toolchain unavailable)."""
+import numpy as np
+import pytest
+
+from quantum_simulations_tpu.circuit import gates as G
+from quantum_simulations_tpu.circuit import library as lib
+from quantum_simulations_tpu.oracle import dense_numpy as oracle
+
+native = pytest.importorskip("quantum_simulations_tpu.native")
+from quantum_simulations_tpu.oracle import native as nat  # noqa: E402
+
+pytestmark = pytest.mark.skipif(
+    not nat.available(), reason=f"native build failed: {native.BUILD_ERROR}"
+)
+
+
+def _rand(n, seed=0, dtype=np.complex128):
+    rng = np.random.default_rng(seed)
+    psi = rng.normal(size=1 << n) + 1j * rng.normal(size=1 << n)
+    return (psi / np.linalg.norm(psi)).astype(dtype)
+
+
+@pytest.mark.parametrize("dtype", [np.complex64, np.complex128])
+@pytest.mark.parametrize("q", [0, 3, 6])
+def test_native_1q(dtype, q):
+    psi = _rand(7, seed=q, dtype=dtype)
+    want = oracle.apply_gate(psi.astype(np.complex128), [q], G.H())
+    native.apply_1q(psi, q, G.H())
+    atol = 1e-6 if dtype == np.complex64 else 1e-12
+    np.testing.assert_allclose(psi, want, atol=atol)
+
+
+@pytest.mark.parametrize("qa,qb", [(0, 1), (1, 0), (2, 6), (6, 2), (5, 3)])
+def test_native_2q(qa, qb):
+    psi = _rand(7, seed=qa * 8 + qb)
+    want = oracle.apply_gate(psi, [qa, qb], G.CNOT())
+    native.apply_2q(psi, qa, qb, G.CNOT())
+    np.testing.assert_allclose(psi, want, atol=1e-12)
+
+
+def test_native_diag():
+    psi = _rand(6, seed=2)
+    U = G.gate_matrix("CR", {"k": 3})
+    want = oracle.apply_gate(psi, [4, 1], U)
+    native.apply_diag(psi, [4, 1], np.diag(U))
+    np.testing.assert_allclose(psi, want, atol=1e-12)
+
+
+def test_native_norm2():
+    psi = _rand(8, seed=1)
+    assert abs(native.norm2(psi) - 1.0) < 1e-10
+
+
+CIRCUITS = [
+    ("qft8", lib.qft(8)),
+    ("random", lib.random_circuit(8, 60, seed=3)),
+    ("w7", lib.w_state(7)),
+    ("qaoa", lib.qaoa_maxcut(8, p=2)),
+    ("ccx", {"number_of_qubits": 4, "gates": [
+        {"qubits": [0], "gate": "H"}, {"qubits": [1], "gate": "X"},
+        {"qubits": [0, 1, 2], "gate": "CCX"}]}),
+]
+
+
+@pytest.mark.parametrize("tag,cd", CIRCUITS, ids=[c[0] for c in CIRCUITS])
+def test_native_simulator_vs_oracle(tag, cd):
+    got = nat.simulate(cd)
+    np.testing.assert_allclose(got, oracle.simulate(cd), atol=1e-10)
+
+
+def test_native_c64_accuracy():
+    cd = lib.qft(10)
+    got = nat.simulate(cd, dtype=np.complex64)
+    np.testing.assert_allclose(got, oracle.simulate(cd), atol=2e-5)
+
+
+def test_threads_api():
+    native.set_threads(2)
+    cd = lib.ghz(6)
+    np.testing.assert_allclose(nat.simulate(cd), oracle.simulate(cd), atol=1e-12)

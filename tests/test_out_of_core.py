@@ -1,0 +1,108 @@
+"""Out-of-core (host-DRAM / disk spill) runner tests.
+
+Parity with the reference's out-of-core pyramid
+(wenbo_engine/tests/test_out_of_core_e2e.py + test_nonlocal.py): tiny
+stripes force every cross-stripe group case; disk backend adds WAL +
+double-buffer + real crash injection via QST_CRASH_AFTER_STRIPE.
+"""
+import json
+import os
+import subprocess
+import sys
+import textwrap
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from quantum_simulations_tpu.circuit import library as lib
+from quantum_simulations_tpu.oracle import dense_numpy as oracle
+from quantum_simulations_tpu.runtime import spill
+from quantum_simulations_tpu.runtime.chunk_store import DiskBuffer, HostBuffer
+
+REPO = Path(__file__).resolve().parent.parent
+
+CIRCUITS = [
+    ("ghz7", lib.ghz(7)),
+    ("qft6", lib.qft(6)),
+    ("w6", lib.w_state(6)),
+    ("random7", lib.random_circuit(7, 60, seed=5)),
+    ("sycamore6", lib.sycamore_like(6, depth=4)),
+]
+
+
+@pytest.mark.parametrize("m", [2, 3, 5])
+@pytest.mark.parametrize("tag,cd", CIRCUITS, ids=[c[0] for c in CIRCUITS])
+def test_host_spill_vs_oracle(tag, cd, m):
+    got = spill.run_out_of_core(cd, stripe_qubits=m, backend="host",
+                                dtype="complex128")
+    np.testing.assert_allclose(got, oracle.simulate(cd), atol=1e-10)
+
+
+@pytest.mark.parametrize("tag,cd", CIRCUITS[:3], ids=[c[0] for c in CIRCUITS[:3]])
+def test_disk_spill_vs_oracle(tmp_path, tag, cd):
+    wd = spill.run_out_of_core(cd, stripe_qubits=3, backend="disk",
+                               work_dir=tmp_path)
+    got = spill.collect_state(wd)
+    # on-disk dtype is complex64
+    np.testing.assert_allclose(got, oracle.simulate(cd), atol=2e-5)
+
+
+def test_stripe_group_stacking_all_cases():
+    """2q gates with every local/stripe-bit split (the butterfly grid)."""
+    n, m = 5, 2
+    for qa, qb in [(0, 1), (0, 3), (3, 0), (2, 4), (4, 2), (1, 4)]:
+        cd = {"number_of_qubits": n, "gates": (
+            [{"qubits": [q], "gate": "H"} for q in range(n)]
+            + [{"qubits": [q], "gate": "T"} for q in range(0, n, 2)]
+            + [{"qubits": [qa, qb], "gate": "CNOT"}]
+        )}
+        got = spill.run_out_of_core(cd, stripe_qubits=m, backend="host",
+                                    dtype="complex128")
+        np.testing.assert_allclose(got, oracle.simulate(cd), atol=1e-10,
+                                   err_msg=f"({qa},{qb})")
+
+
+def test_disk_buffer_roundtrip(tmp_path):
+    buf = DiskBuffer(tmp_path / "b", n=4, m=2)
+    arr = buf.to_array()
+    assert arr[0] == 1.0 and np.count_nonzero(arr) == 1
+    stripe = np.arange(4, dtype=np.complex64)
+    buf.write(2, stripe)
+    np.testing.assert_array_equal(buf.read(2), stripe)
+    reopened = DiskBuffer.open(tmp_path / "b")
+    np.testing.assert_array_equal(reopened.read(2), stripe)
+
+
+def test_disk_crash_recovery(tmp_path):
+    cd = lib.ghz(6)
+    script = textwrap.dedent(f"""
+        import os, sys, json
+        sys.path.insert(0, {str(REPO)!r})
+        os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        from quantum_simulations_tpu.runtime import spill
+        cd = json.loads({json.dumps(json.dumps(cd))!r} if False else '''{json.dumps(cd)}''')
+        spill.run_out_of_core(cd, stripe_qubits=3, backend="disk",
+                              work_dir={str(tmp_path)!r}, use_fusion=False)
+        print("COMPLETED")
+    """)
+    env = dict(os.environ)
+    env[spill.CRASH_ENV] = "20"  # crash mid-run after 20 stripe writes
+    res = subprocess.run([sys.executable, "-c", script],
+                         capture_output=True, text=True, env=env)
+    assert res.returncode == 1, res.stderr
+    env.pop(spill.CRASH_ENV)
+    res = subprocess.run([sys.executable, "-c", script],
+                         capture_output=True, text=True, env=env)
+    assert res.returncode == 0, res.stderr
+    got = spill.collect_state(tmp_path)
+    np.testing.assert_allclose(got, oracle.simulate(cd), atol=2e-5)
+
+
+def test_host_buffer_views():
+    buf = HostBuffer(4, 2, dtype=np.complex128)
+    assert buf.n_stripes == 4
+    buf.write(1, np.full(4, 2.0, dtype=np.complex128))
+    assert buf.to_array()[4:8].sum() == 8.0
