@@ -6,13 +6,16 @@ largest size the reference runs both in-RAM (412 s, complex128) and
 out-of-core (139 s, complex64) on its benchmark machine
 (``wenbo_engine/docs/v3_comparison.md:45-62``).
 
+Executed in rotating-panel mode: the whole circuit compiles to ~25 HBM
+passes (128-wide MXU panel matmuls + bit-rotation transposes) with
+full-precision accumulation.  Results are forced with an on-device
+norm reduction fetched to host (plain block_until_ready is unreliable
+through the axon tunnel).
+
 Prints ONE JSON line:
-  metric  amplitude-updates per second at n=28
-          (gates x 2^28 / wall-second, steady-state, compile excluded)
-  vs_baseline  reference out-of-core wall time (139 s) divided by our
-          wall time for a circuit of the same family and comparable
-          gate count — i.e. how many times faster this engine finishes
-          the reference's n=28 benchmark tier.
+  metric        amplitude-updates per second at n=28
+                (gates x 2^28 / steady wall-second, compile excluded)
+  vs_baseline   reference out-of-core n=28 wall time (139 s) / ours.
 """
 from __future__ import annotations
 
@@ -23,6 +26,7 @@ import time
 
 def main() -> None:
     import jax
+    import jax.numpy as jnp
 
     from quantum_simulations_tpu.circuit import library as lib
     from quantum_simulations_tpu.runtime import simulator
@@ -30,33 +34,41 @@ def main() -> None:
     n = 28
     cd = lib.non_stabilizer(n, depth=4, seed=7)
     n_gates = len(cd["gates"])
+    S = jax.ShapeDtypeStruct((1 << n,), jnp.complex64)
 
-    fn = simulator.build_circuit_fn(cd, dtype="complex64", donate=False)
+    # Establish the device grant with a tiny end-to-end fetch first.
+    warm = jax.jit(lambda: jnp.sum(jnp.ones((128, 128), jnp.float32)))
+    float(jax.device_get(warm()))
 
-    from quantum_simulations_tpu.ops import dense
+    fn = simulator.build_panel_circuit_fn(cd, dtype="complex64", donate=False)
+    compiled = fn.lower(S).compile()
+    norm2 = jax.jit(
+        lambda x: jnp.sum(jnp.real(x) ** 2 + jnp.imag(x) ** 2)
+    ).lower(S).compile()
+    mk = jax.jit(lambda: jnp.zeros(1 << n, dtype=jnp.complex64).at[0].set(1.0))
+    psi = mk()
+    float(jax.device_get(norm2(psi)))  # force input
 
-    psi = dense.zero_state(n, "complex64")
-    # Warm-up: compile + one run.
-    out = fn(psi)
-    out.block_until_ready()
-    del out
+    def once() -> float:
+        return float(jax.device_get(norm2(compiled(psi))))
 
-    reps = 3
+    once()  # warm run
+    reps = 5
     t0 = time.perf_counter()
+    final_norm = 0.0
     for _ in range(reps):
-        out = fn(psi)
-        out.block_until_ready()
+        final_norm = once()
     dt = (time.perf_counter() - t0) / reps
 
-    amp_updates_per_s = n_gates * (1 << n) / dt
     ref_wall_s = 139.0  # reference out-of-core n=28 (v3_comparison.md:60)
     result = {
         "metric": f"amplitude-updates/sec, n={n} non-stabilizer ({n_gates} gates)",
-        "value": round(amp_updates_per_s, 1),
+        "value": round(n_gates * (1 << n) / dt, 1),
         "unit": "amp-updates/s",
         "vs_baseline": round(ref_wall_s / dt, 1),
         "wall_s": round(dt, 4),
         "n_gates": n_gates,
+        "norm2": round(final_norm, 7),
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))
