@@ -142,9 +142,20 @@ def run_out_of_core(
         fn = cache.get(key, ops, 1 << (m + r))
 
         if r == 0:
+            # Depth-2 software pipeline: the next stripe's H2D upload and
+            # device compute are dispatched before the previous result is
+            # drained to host, so transfer/compute/write overlap (the
+            # reference does this with reader/worker/writer threads,
+            # wenbo_engine/runner/pipeline.py; JAX's async dispatch gives
+            # it without threads).
+            prev_s, prev_out = None, None
             for s in range(src.n_stripes):
                 out = fn(jnp.asarray(src.read(s), dtype=dtype))
-                _write_stripe(dst, s, out)
+                if prev_out is not None:
+                    _write_stripe(dst, prev_s, prev_out)
+                prev_s, prev_out = s, out
+            if prev_out is not None:
+                _write_stripe(dst, prev_s, prev_out)
         else:
             group_masks = [1 << b for b in bits]
             free_bits = [b for b in range(n - m) if b not in bits]
