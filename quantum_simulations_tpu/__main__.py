@@ -1,0 +1,127 @@
+"""Command-line interface.
+
+    python -m quantum_simulations_tpu run circuit.json [--mode panel] ...
+    python -m quantum_simulations_tpu sample circuit.json --shots 100
+    python -m quantum_simulations_tpu stats circuit.json
+    python -m quantum_simulations_tpu bench [kernel_bw|e2e|sweep|suite|spill_bw]
+
+Circuit files are contract JSON dicts or OpenQASM 2.0 (.qasm).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+
+def _load_circuit(path: str) -> dict:
+    p = Path(path)
+    if p.suffix == ".qasm":
+        from .circuit.import_qasm import load_qasm
+
+        return load_qasm(p)
+    return json.loads(p.read_text())
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="quantum_simulations_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    common = argparse.ArgumentParser(add_help=False)
+    common.add_argument("circuit", help="circuit JSON or .qasm file")
+    common.add_argument("--dtype", default="complex64")
+    common.add_argument("--mode", default="panel", choices=["panel", "fused"])
+    common.add_argument("--devices", type=int, default=None)
+    common.add_argument("--stripe-qubits", type=int, default=None)
+    common.add_argument("--spill-backend", default="host",
+                        choices=["host", "disk"])
+    common.add_argument("--sparse", action="store_true")
+    common.add_argument("--no-fusion", action="store_true")
+    common.add_argument("--staging", action="store_true")
+    common.add_argument("--work-dir", default=None)
+
+    p_run = sub.add_parser("run", parents=[common],
+                           help="simulate; print state summary")
+    p_run.add_argument("--top", type=int, default=8,
+                       help="print the k largest amplitudes")
+
+    p_sample = sub.add_parser("sample", parents=[common])
+    p_sample.add_argument("--shots", type=int, default=100)
+    p_sample.add_argument("--seed", type=int, default=0)
+
+    sub.add_parser("stats", parents=[common],
+                   help="compile statistics (fusion/staging/panel)")
+
+    p_bench = sub.add_parser("bench")
+    p_bench.add_argument("which", choices=[
+        "kernel_bw", "e2e", "sweep", "suite", "spill_bw"])
+
+    args = ap.parse_args(argv)
+
+    if args.cmd == "bench":
+        import importlib
+
+        mod = importlib.import_module(f".bench.{args.which}", __package__)
+        print(json.dumps(mod.run(), indent=1))
+        return 0
+
+    cd = _load_circuit(args.circuit)
+
+    if args.cmd == "stats":
+        from .circuit.contract import circuit_depth, gate_counts
+        from .circuit.fusion import fusion_stats
+        from .circuit.panelize import panel_stats
+
+        n = cd["number_of_qubits"]
+        out = {
+            "n_qubits": n,
+            "n_gates": len(cd["gates"]),
+            "depth": circuit_depth(cd),
+            "gate_counts": gate_counts(cd),
+            "fusion": fusion_stats(cd, k=n),
+            "panel": panel_stats(cd),
+        }
+        print(json.dumps(out, indent=1))
+        return 0
+
+    from .api import sample as api_sample
+    from .api import simulate as api_simulate
+    from .utils.config import SimulatorConfig
+
+    cfg = SimulatorConfig(
+        dtype=args.dtype, mode=args.mode, n_devices=args.devices,
+        stripe_qubits=args.stripe_qubits, spill_backend=args.spill_backend,
+        sparse=args.sparse, use_fusion=not args.no_fusion,
+        use_staging=args.staging,
+    )
+
+    if args.cmd == "sample":
+        bits = api_sample(cd, args.shots, seed=args.seed, config=cfg)
+        for row in bits:
+            print("".join(str(int(b)) for b in row[::-1]))  # q_{n-1}...q_0
+        return 0
+
+    result = api_simulate(cd, cfg, work_dir=args.work_dir)
+    if args.sparse:
+        print(json.dumps({
+            "nonzero": len(result),
+            "norm": result.norm(),
+            "top": [[hex(i), [complex(a).real, complex(a).imag]]
+                    for i, a in result.top_amplitudes(args.top)],
+        }, indent=1))
+    else:
+        import numpy as np
+
+        probs = np.abs(result) ** 2
+        top = np.argsort(probs)[::-1][: args.top]
+        print(json.dumps({
+            "n_amplitudes": int(result.size),
+            "norm2": float(probs.sum()),
+            "top": [[hex(int(i)), float(probs[i])] for i in top],
+        }, indent=1))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,111 @@
+"""High-level user API: one facade over every execution tier.
+
+A user of the reference framework drives it through
+``runner.run(circuit_dict, work_dir, chunk_size=..., kernel=...)`` or
+the v2/v3 ``driver.run_circuit``; this module is the equivalent single
+entry point, routing to the right tier from a
+:class:`~quantum_simulations_tpu.utils.config.SimulatorConfig`:
+
+* dense in-HBM (single device or sharded mesh), fused or panel mode,
+  optional staging / WAL / fencing;
+* out-of-core spill (host DRAM or disk chunks) when ``stripe_qubits``
+  is set;
+* sparse (COO / bigint) when ``sparse`` is set.
+
+.. code-block:: python
+
+    from quantum_simulations_tpu import api
+    result = api.simulate(circuit, config=SimulatorConfig(mode="panel"))
+    samples = api.sample(circuit, shots=1000)
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from .circuit.contract import validate_circuit_dict
+from .utils.config import SimulatorConfig
+
+
+def simulate(circuit_dict: dict, config: SimulatorConfig | None = None,
+             *, work_dir=None) -> np.ndarray:
+    """Run a circuit under the given config; returns the final state.
+
+    Sparse runs return a :class:`sparse.engine.SparseState` instead of
+    a dense array (it may not fit memory densely).
+    """
+    cfg = config or SimulatorConfig()
+    cd = validate_circuit_dict(circuit_dict)
+
+    if cfg.sparse:
+        from .sparse.engine import simulate_sparse
+
+        return simulate_sparse(cd, threshold=cfg.sparse_threshold)
+
+    if cfg.stripe_qubits is not None:
+        from .runtime import spill
+
+        out = spill.run_out_of_core(
+            cd, stripe_qubits=cfg.stripe_qubits, backend=cfg.spill_backend,
+            work_dir=work_dir, dtype=cfg.dtype, use_fusion=cfg.use_fusion,
+            panel_width=cfg.panel_width,
+        )
+        if cfg.spill_backend == "disk":
+            return spill.collect_state(out)
+        return out
+
+    n_devices = cfg.n_devices or 1
+    if n_devices > 1 or work_dir is not None:
+        from .parallel import mesh as M
+        from .runtime import runner
+
+        mesh = M.make_mesh(n_devices)
+        if work_dir is not None:
+            runner.run(
+                cd, work_dir, mesh=mesh, dtype=cfg.dtype,
+                use_wal=cfg.use_wal, use_fencing=cfg.use_fencing,
+                use_fusion=cfg.use_fusion, panel_width=cfg.panel_width,
+                use_staging=cfg.use_staging,
+                staging_method=cfg.staging_method,
+                checkpoint_every=cfg.checkpoint_every,
+            )
+            return runner.collect_state(work_dir)
+        from .parallel import executor as E
+
+        return E.collect_state(E.simulate_sharded(
+            mesh, cd, dtype=cfg.dtype, use_fusion=cfg.use_fusion,
+            panel_width=cfg.panel_width,
+        ))
+
+    from .runtime import simulator
+
+    return simulator.simulate_np(
+        cd, dtype=cfg.dtype, mode=cfg.mode, use_fusion=cfg.use_fusion,
+        panel_width=cfg.panel_width,
+    )
+
+
+def sample(circuit_dict: dict, shots: int, *, seed: int = 0,
+           config: SimulatorConfig | None = None) -> np.ndarray:
+    """Simulate then draw bitstring samples; (shots, n) int8 matrix."""
+    import jax
+
+    from .ops import sampling
+
+    cfg = config or SimulatorConfig()
+    psi = simulate(circuit_dict, cfg)
+    n = validate_circuit_dict(circuit_dict)["number_of_qubits"]
+    import jax.numpy as jnp
+
+    return np.asarray(sampling.sample_bits(
+        jnp.asarray(psi), jax.random.PRNGKey(seed), shots, n,
+    ))
+
+
+def expectation_z(circuit_dict: dict, qubits: list[int],
+                  config: SimulatorConfig | None = None) -> float:
+    import jax.numpy as jnp
+
+    from .ops import sampling
+
+    psi = simulate(circuit_dict, config)
+    return float(sampling.expectation_z(jnp.asarray(psi), qubits))

@@ -91,9 +91,30 @@ def build_panel_circuit_fn(
 
     ops, shift = compile_panel_schedule(cd, window=window)
 
+    # Fuse PanelOp + RotateOp(w) pairs: the rotation is absorbed into
+    # the matmul's output orientation (one HBM pass instead of two).
+    fused_ops: list = []
+    i = 0
+    while i < len(ops):
+        op = ops[i]
+        nxt = ops[i + 1] if i + 1 < len(ops) else None
+        if (
+            isinstance(op, PanelOp)
+            and isinstance(nxt, RotateOp)
+            and (1 << nxt.r) == op.W.shape[0]
+            and n > nxt.r
+        ):
+            fused_ops.append(("panel_rot", op.W))
+            i += 2
+        else:
+            fused_ops.append(("raw", op))
+            i += 1
+
     def fn(psi):
-        for op in ops:
-            if isinstance(op, PanelOp):
+        for kind, op in fused_ops:
+            if kind == "panel_rot":
+                psi = dense.apply_panel_then_rotate(psi, op)
+            elif isinstance(op, PanelOp):
                 psi = dense.apply_low_panel(psi, op.W)
             elif isinstance(op, RotateOp):
                 psi = dense.rotate_bits_right(psi, op.r)
