@@ -53,7 +53,7 @@ def run(n: int = 26, dtype="complex64", reps: int = 5) -> dict:
         fn = jax.jit(lambda x, op=op: op(x)).lower(S).compile()
         dt = timeit(lambda: force(fn(psi)), reps)
         gbs = 2 * nbytes / dt / 1e9
-        results[name] = {"s": round(dt, 5), "GBs": round(gbs, 1)}
+        results[name] = {"s": round(dt, 5), "GBs": round(gbs, 3)}
 
     peak = HBM_PEAK_GBS.get("v5e")
     for v in results.values():

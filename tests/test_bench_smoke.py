@@ -1,0 +1,42 @@
+"""Bench-suite smoke tests (tiny sizes, CPU platform)."""
+import os
+
+import pytest
+
+os.environ.setdefault("QST_BENCH_PLATFORM", "cpu")
+
+
+def test_suite_matrix_small():
+    from quantum_simulations_tpu.bench import suite
+    out = suite.run(sizes=(5,), dtype="complex64")
+    assert out["n_mismatch"] == 0
+    assert len(out["rows"]) > 5
+
+
+def test_kernel_bw_small():
+    from quantum_simulations_tpu.bench import kernel_bw
+    out = kernel_bw.run(n=14, reps=1)
+    assert "panel128_8gates" in out["ops"]
+    for v in out["ops"].values():
+        assert v["GBs"] > 0
+
+
+def test_e2e_small():
+    from quantum_simulations_tpu.bench import e2e
+    out = e2e.run(sizes=(10,), families=("ghz", "qft"), reps=1)
+    assert len(out["results"]) == 4
+    for r in out["results"]:
+        assert r["wall_s"] > 0 and r["amp_updates_per_s"] > 0
+
+
+def test_sweep_small():
+    from quantum_simulations_tpu.bench import sweep
+    out = sweep.run(n=10, reps=1)
+    assert len(out["rows"]) == 5
+
+
+def test_spill_bw_small():
+    from quantum_simulations_tpu.bench import spill_bw
+    out = spill_bw.run(n=10, stripe_qubits=7)
+    assert len(out["rows"]) == 2
+    assert abs(out["rows"][0]["norm"] - 1) < 1e-4
