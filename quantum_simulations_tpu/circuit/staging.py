@@ -100,7 +100,7 @@ def _dag_ready_sets(gates: list[dict]):
     return per_qubit
 
 
-def _score_qubits(gates, pending, start_positions, window, gamma):
+def _score_qubits(gates, pending, window, gamma):
     """Discounted future demand per logical qubit (non-insular uses)."""
     scores: dict[int, float] = defaultdict(float)
     cnt = 0
@@ -199,7 +199,7 @@ def stage_circuit(
     while pending:
         n_stages += 1
         # Choose this stage's local set.
-        scores = _score_qubits(gates, pending, None, window, gamma)
+        scores = _score_qubits(gates, pending, window, gamma)
         first = gates[pending[0]]
         required = non_insular_qubits(first) or list(first["qubits"])[:1]
         chosen = list(dict.fromkeys(required))[:k]

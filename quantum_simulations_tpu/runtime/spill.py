@@ -56,13 +56,12 @@ def _remap_ops(step: Step, m: int, bits: list[int]) -> list:
 
 
 class _FnCache:
-    """jit cache keyed by the op-list identity of a step."""
+    """jit cache keyed by step index (ops differ per step)."""
 
-    def __init__(self, dtype):
-        self.dtype = dtype
+    def __init__(self):
         self._cache: dict = {}
 
-    def get(self, key, ops, size):
+    def get(self, key, ops):
         hit = self._cache.get(key)
         if hit is not None:
             return hit
@@ -95,7 +94,7 @@ def run_out_of_core(
     n = cd["number_of_qubits"]
     m = min(stripe_qubits, n)
     steps = compile_steps(cd, k=m, use_fusion=use_fusion, panel_width=panel_width)
-    cache = _FnCache(dtype)
+    cache = _FnCache()
     crash_after = int(os.environ.get(CRASH_ENV, "-1"))
     writes = 0
 
@@ -139,7 +138,7 @@ def run_out_of_core(
         r = len(bits)
         ops = _remap_ops(step, m, bits)
         key = (step_idx,)
-        fn = cache.get(key, ops, 1 << (m + r))
+        fn = cache.get(key, ops)
 
         if r == 0:
             # Depth-2 software pipeline: the next stripe's H2D upload and
