@@ -150,8 +150,14 @@ def simulate_sparse(
     *,
     threshold: float = DEFAULT_THRESHOLD,
     force_tier: str | None = None,
+    nnz_history: list | None = None,
 ) -> SparseState:
-    """Run a circuit sparsely; returns a :class:`SparseState`."""
+    """Run a circuit sparsely; returns a :class:`SparseState`.
+
+    Pass a list as ``nnz_history`` to record the nonzero count after
+    every gate (the intermediate-sparsity profile — the signal that
+    decides when a circuit should switch to the dense tier).
+    """
     cd = validate_circuit_dict(circuit_dict)
     n = cd["number_of_qubits"]
     tier = force_tier or ("numpy" if n <= NUMPY_MAX_QUBITS else "bigint")
@@ -162,10 +168,14 @@ def simulate_sparse(
         for g in cd["gates"]:
             U = G.gate_matrix(g["gate"], g["params"])
             idx, amp = _apply_gate_coo(idx, amp, g["qubits"], U, threshold)
+            if nnz_history is not None:
+                nnz_history.append(len(idx))
         return SparseState(n, dict(zip((int(i) for i in idx), amp)))
 
     state = {0: 1.0 + 0.0j}
     for g in cd["gates"]:
         U = G.gate_matrix(g["gate"], g["params"])
         state = _apply_gate_dict(state, g["qubits"], U, threshold)
+        if nnz_history is not None:
+            nnz_history.append(len(state))
     return SparseState(n, state)
