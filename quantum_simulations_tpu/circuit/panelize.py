@@ -198,6 +198,150 @@ def compile_panel_schedule(
     return out, shift
 
 
+@dataclass(frozen=True)
+class WindowPanelOp:
+    """Fused 2^w x 2^w unitary on the FIXED bit window [pos, pos+w)."""
+    pos: int
+    W: np.ndarray
+    n_fused: int
+
+
+def _fit_start(qubits: list[int], n: int, w: int) -> int | None:
+    """A valid panel start s covering `qubits`.
+
+    Valid starts are s == 0 (lane window) or s >= 7 (positioned window,
+    possibly ragged at the top: effective width min(w, n-s)).  Gates
+    straddling the 1..6 start gap (e.g. a pair on qubits 6 and 7) fit
+    no window and run through the generic path.
+    """
+    lo, hi = min(qubits), max(qubits)
+    if hi - lo >= w:
+        return None
+    if hi < w:
+        return 0
+    if lo < 7:
+        return None  # straddles the forbidden start zone
+    # Canonical aligned start for bucket reuse, else the smallest valid.
+    cand = max(7, w * (lo // w))
+    if cand <= lo and hi < cand + w:
+        return cand
+    s = max(7, hi - w + 1)
+    return s if s <= lo else None
+
+
+def compile_window_schedule(
+    circuit_dict: dict, *, window: int = PANEL_W,
+) -> list:
+    """Fixed-window panel schedule: NO rotations.
+
+    Positioned panels (``ops/pallas_kernels.positioned_panel_planar``)
+    can apply a fused 2^w block at any bit window [s, s+w) with s = 0
+    or s >= 7, so instead of sliding qubits through the lane window
+    with transposes, each phase simply emits one panel per active
+    window.  Gates that fit no valid window (spans >= w, or pairs
+    straddling position 7's forbidden zone) go through the generic
+    layout-aware path.
+
+    Returns a list of WindowPanelOp | PhysGateOp.
+    """
+    cd = validate_circuit_dict(circuit_dict)
+    n = cd["number_of_qubits"]
+    gates = cd["gates"]
+    w = min(window, n)
+    if n <= w:
+        ops_ = [(tuple(g["qubits"]), G.gate_matrix(g["gate"], g["params"]))
+                for g in gates]
+        from ..ops.dense import compose_low_panel
+        if not ops_:
+            return []
+        return [WindowPanelOp(0, compose_low_panel(ops_, w), len(ops_))]
+
+    per_qubit: dict[int, list[int]] = {}
+    for i, g in enumerate(gates):
+        for q in g["qubits"]:
+            per_qubit.setdefault(q, []).append(i)
+    head = {q: 0 for q in per_qubit}
+    pending = list(range(len(gates)))
+
+    def is_ready(i: int) -> bool:
+        return all(per_qubit[q][head[q]] == i for q in gates[i]["qubits"])
+
+    def mark(i: int) -> None:
+        for q in gates[i]["qubits"]:
+            head[q] += 1
+
+    from ..ops.dense import compose_low_panel
+
+    out: list = []
+    while pending:
+        buckets: dict[int, list] = {}
+        generics: list[PhysGateOp] = []
+        blocked: set[int] = set()
+        # Ordering between phase groups: panels (sorted by start) are
+        # emitted before generics, and bucket-internal order is kept.
+        # A gate may only join a group if every qubit it shares with an
+        # already-scheduled gate of this phase is owned by a group that
+        # is emitted no later than its own:
+        #   same panel bucket  -> ok;   panel -> generic -> ok;
+        #   different panel bucket or generic -> panel -> defer.
+        owner: dict[int, object] = {}
+        progress = False
+        changed = True
+        while changed:
+            changed = False
+            still: list[int] = []
+            for i in pending:
+                g = gates[i]
+                if set(g["qubits"]) & blocked or not is_ready(i):
+                    still.append(i)
+                    blocked.update(g["qubits"])
+                    continue
+                U = G.gate_matrix(g["gate"], g["params"])
+                s = _fit_start(g["qubits"], n, w)
+                key = "generic" if s is None else ("panel", s)
+                ok = True
+                for q in g["qubits"]:
+                    own = owner.get(q)
+                    if own is None or own == key:
+                        continue
+                    if key == "generic" and isinstance(own, tuple):
+                        continue  # panel -> generic is emission-ordered
+                    ok = False
+                    break
+                if not ok:
+                    still.append(i)
+                    blocked.update(g["qubits"])
+                    continue
+                if s is None:
+                    generics.append(PhysGateOp(tuple(g["qubits"]), U, g["gate"]))
+                else:
+                    rel = tuple(q - s for q in g["qubits"])
+                    buckets.setdefault(s, []).append((rel, U))
+                for q in g["qubits"]:
+                    owner[q] = key
+                mark(i)
+                progress = changed = True
+            pending = still
+        for s in sorted(buckets):
+            run = buckets[s]
+            w_eff = min(w, n - s)
+            out.append(WindowPanelOp(s, compose_low_panel(run, w_eff), len(run)))
+        out.extend(generics)
+        if not progress and pending:
+            raise AssertionError("window scheduler stalled")  # unreachable
+    return out
+
+
+def window_stats(circuit_dict: dict, *, window: int = PANEL_W) -> dict:
+    ops = compile_window_schedule(circuit_dict, window=window)
+    return {
+        "panels": sum(1 for o in ops if isinstance(o, WindowPanelOp)),
+        "generic_gates": sum(1 for o in ops if isinstance(o, PhysGateOp)),
+        "gates": len(circuit_dict["gates"]),
+        "hbm_passes": len(ops),
+    }
+
+
 def panel_stats(circuit_dict: dict, *, window: int = PANEL_W) -> dict:
     ops, shift = compile_panel_schedule(circuit_dict, window=window)
     return {

@@ -409,30 +409,6 @@ def _rotation_steps(r: int, n: int) -> list[int]:
     return [r]  # unreachable for n >= 14
 
 
-def apply_panel_then_rotate(psi: jnp.ndarray, W) -> jnp.ndarray:
-    """Fused ``rotate_bits_right(apply_low_panel(psi, W), w)`` in ONE pass.
-
-    The rotation by w (= panel width) is absorbed into the matmul's
-    output orientation: with X = psi.reshape(R, 2^w),
-
-        out[i * R + rest] = sum_j W[i, j] X[rest, j]
-
-    i.e. a (2^w, R) = W  X^T dot_general — the transpose never
-    materialises as its own HBM pass.  This halves the pass count of
-    the rotating-panel schedule (panel + rotate pairs become one op).
-    """
-    dim = W.shape[0]
-    w = jnp.asarray(_const_coeffs(W, psi.dtype))
-    R = psi.size // dim
-    x = psi.reshape(R, dim)
-    y = jax.lax.dot_general(
-        w, x,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        precision=MATMUL_PRECISION,
-    )  # (dim, R)
-    return y.reshape(psi.size)
-
-
 def rotate_bits_right(psi: jnp.ndarray, r: int) -> jnp.ndarray:
     """Cyclically rotate index-bit positions down by r: new bit j = old bit (j+r) mod n.
 

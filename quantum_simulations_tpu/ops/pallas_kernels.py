@@ -73,8 +73,9 @@ def panel_apply_planar(
     N = re.size
     R = N // dim
     BR = _block_rows(R, block_rows)
-    wr = np.ascontiguousarray(W.real, dtype=np.float32)
-    wi = np.ascontiguousarray(W.imag, dtype=np.float32)
+    fdtype = re.dtype
+    wr = np.ascontiguousarray(W.real, dtype=fdtype)
+    wi = np.ascontiguousarray(W.imag, dtype=fdtype)
 
     kern = functools.partial(_panel_kernel, rotate=rotate)
     if rotate:
@@ -82,13 +83,13 @@ def panel_apply_planar(
             pl.BlockSpec((dim, BR), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((dim, BR), lambda i: (0, i), memory_space=pltpu.VMEM),
         ]
-        out_shape = [jax.ShapeDtypeStruct((dim, R), jnp.float32)] * 2
+        out_shape = [jax.ShapeDtypeStruct((dim, R), fdtype)] * 2
     else:
         out_specs = [
             pl.BlockSpec((BR, dim), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((BR, dim), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ]
-        out_shape = [jax.ShapeDtypeStruct((R, dim), jnp.float32)] * 2
+        out_shape = [jax.ShapeDtypeStruct((R, dim), fdtype)] * 2
 
     ore, oim = pl.pallas_call(
         kern,
@@ -107,8 +108,107 @@ def panel_apply_planar(
     return ore.reshape(N), oim.reshape(N)
 
 
+def _positioned_kernel(re_ref, im_ref, wr_ref, wi_ref, ore_ref, oim_ref):
+    # Blocks are (1, dim, CB); contract the middle axis with W.
+    re = re_ref[0]
+    im = im_ref[0]
+    wr = wr_ref[:]
+    wi = wi_ref[:]
+    dn = (((1,), (0,)), ((), ()))  # W @ tile
+    o_re = (jax.lax.dot_general(wr, re, dn, precision=HI)
+            - jax.lax.dot_general(wi, im, dn, precision=HI))
+    o_im = (jax.lax.dot_general(wi, re, dn, precision=HI)
+            + jax.lax.dot_general(wr, im, dn, precision=HI))
+    ore_ref[0] = o_re
+    oim_ref[0] = o_im
+
+
+def positioned_panel_planar(
+    re: jnp.ndarray,
+    im: jnp.ndarray,
+    W: np.ndarray,
+    pos: int,
+    *,
+    col_block: int = 512,
+    interpret: bool = False,
+):
+    """Apply a 2^w-wide fused panel to bit window [pos, pos+w) — no rotation.
+
+    The state is viewed as (A, 2^w, 2^pos) and each kernel instance
+    multiplies a (2^w, CB) tile by W on the MXU.  Requires pos >= 7 so
+    the trailing dim keeps full lanes (pos == 0 is the plain lane panel,
+    use :func:`panel_apply_planar`).
+
+    Fixed-window scheduling with positioned panels eliminates the
+    rotation transposes of the sliding schedule entirely.
+    """
+    dim = W.shape[0]
+    N = re.size
+    C = 1 << pos
+    A = N // (dim * C)
+    assert pos >= 7 or interpret, "positioned panel needs pos >= 7 on TPU"
+    CB = min(col_block, C)
+    while C % CB:
+        CB //= 2
+    fdtype = re.dtype
+    wr = np.ascontiguousarray(W.real, dtype=fdtype)
+    wi = np.ascontiguousarray(W.imag, dtype=fdtype)
+
+    ore, oim = pl.pallas_call(
+        _positioned_kernel,
+        grid=(A, C // CB),
+        in_specs=[
+            pl.BlockSpec((1, dim, CB), lambda a, c: (a, 0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dim, CB), lambda a, c: (a, 0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((dim, dim), lambda a, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((dim, dim), lambda a, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, dim, CB), lambda a, c: (a, 0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, dim, CB), lambda a, c: (a, 0, c),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((A, dim, C), fdtype)] * 2,
+        interpret=interpret,
+    )(re.reshape(A, dim, C), im.reshape(A, dim, C),
+      jnp.asarray(wr), jnp.asarray(wi))
+    return ore.reshape(N), oim.reshape(N)
+
+
+def _transpose_kernel(x_ref, o_ref):
+    o_ref[:] = x_ref[:].T
+
+
+def tiled_transpose(x: jnp.ndarray, rows: int, cols: int, *,
+                    tile: int = 128, interpret: bool = False) -> jnp.ndarray:
+    """(rows, cols) -> (cols, rows) transpose via 128x128 VMEM tiles.
+
+    The rotation primitive of the sliding-panel schedule; XLA's own
+    transpose measured 188 GB/s on v5e — this kernel targets the
+    elementwise ceiling.
+    """
+    assert rows % tile == 0 and cols % tile == 0
+    out = pl.pallas_call(
+        _transpose_kernel,
+        grid=(rows // tile, cols // tile),
+        in_specs=[pl.BlockSpec((tile, tile), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((tile, tile), lambda i, j: (j, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((cols, rows), x.dtype),
+        interpret=interpret,
+    )(x.reshape(rows, cols))
+    return out
+
+
 def to_planar(psi: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-    return jnp.real(psi).astype(jnp.float32), jnp.imag(psi).astype(jnp.float32)
+    f = jnp.float64 if psi.dtype == jnp.complex128 else jnp.float32
+    return jnp.real(psi).astype(f), jnp.imag(psi).astype(f)
 
 
 def from_planar(re: jnp.ndarray, im: jnp.ndarray, dtype=jnp.complex64) -> jnp.ndarray:

@@ -91,30 +91,13 @@ def build_panel_circuit_fn(
 
     ops, shift = compile_panel_schedule(cd, window=window)
 
-    # Fuse PanelOp + RotateOp(w) pairs: the rotation is absorbed into
-    # the matmul's output orientation (one HBM pass instead of two).
-    fused_ops: list = []
-    i = 0
-    while i < len(ops):
-        op = ops[i]
-        nxt = ops[i + 1] if i + 1 < len(ops) else None
-        if (
-            isinstance(op, PanelOp)
-            and isinstance(nxt, RotateOp)
-            and (1 << nxt.r) == op.W.shape[0]
-            and n > nxt.r
-        ):
-            fused_ops.append(("panel_rot", op.W))
-            i += 2
-        else:
-            fused_ops.append(("raw", op))
-            i += 1
-
+    # NOTE: fusing the rotation into the matmul's output orientation
+    # (a transposed dot_general) was measured SLOWER than separate
+    # panel + transpose passes on v5e (41 ms vs 14+23 ms at n=28), so
+    # the ops run as scheduled.
     def fn(psi):
-        for kind, op in fused_ops:
-            if kind == "panel_rot":
-                psi = dense.apply_panel_then_rotate(psi, op)
-            elif isinstance(op, PanelOp):
+        for op in ops:
+            if isinstance(op, PanelOp):
                 psi = dense.apply_low_panel(psi, op.W)
             elif isinstance(op, RotateOp):
                 psi = dense.rotate_bits_right(psi, op.r)
@@ -123,6 +106,64 @@ def build_panel_circuit_fn(
         if shift % n:
             psi = dense.rotate_bits_right(psi, (n - shift) % n)
         return psi
+
+    jitted = jax.jit(fn, donate_argnums=(0,) if donate else ())
+    _COMPILE_CACHE[key] = jitted
+    return jitted
+
+
+def build_window_circuit_fn(
+    circuit_dict: dict,
+    *,
+    dtype=jnp.complex64,
+    window: int = 7,
+    donate: bool = True,
+    interpret: bool | None = None,
+):
+    """jitted fn(psi)->psi in fixed-window planar-Pallas form.
+
+    The state is split once into f32 re/im planes; every panel runs as
+    a Pallas kernel (lane panel at pos 0, positioned panel at pos>=7 —
+    measured 529 GB/s vs 310 GB/s for the XLA matmul path on v5e), and
+    NO rotation transposes are needed.  Generic stragglers run through
+    the layout-aware complex path (the complex<->planar conversion
+    fuses into the surrounding program).
+
+    ``interpret`` defaults to True off-TPU (Mosaic kernels need real
+    hardware; interpret mode keeps tests runnable on CPU).
+    """
+    from ..circuit.panelize import (
+        PhysGateOp, WindowPanelOp, compile_window_schedule,
+    )
+    from ..ops import pallas_kernels as pk
+
+    cd = validate_circuit_dict(circuit_dict)
+    n = cd["number_of_qubits"]
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    key = ("window", circuit_hash(cd), jnp.dtype(dtype).name, window,
+           donate, interpret)
+    cached = _COMPILE_CACHE.get(key)
+    if cached is not None:
+        return cached
+
+    ops = compile_window_schedule(cd, window=window)
+
+    def fn(psi):
+        re, im = pk.to_planar(psi)
+        for op in ops:
+            if isinstance(op, WindowPanelOp):
+                if op.pos == 0:
+                    re, im = pk.panel_apply_planar(
+                        re, im, op.W, interpret=interpret)
+                else:
+                    re, im = pk.positioned_panel_planar(
+                        re, im, op.W, op.pos, interpret=interpret)
+            else:
+                c = dense.apply_gate(
+                    pk.from_planar(re, im, dtype), op.qubits, op.U)
+                re, im = pk.to_planar(c)
+        return pk.from_planar(re, im, dtype)
 
     jitted = jax.jit(fn, donate_argnums=(0,) if donate else ())
     _COMPILE_CACHE[key] = jitted
@@ -149,6 +190,10 @@ def simulate(
     n = cd["number_of_qubits"]
     if mode == "panel":
         fn = build_panel_circuit_fn(
+            cd, dtype=dtype, donate=initial_state is None,
+        )
+    elif mode == "window":
+        fn = build_window_circuit_fn(
             cd, dtype=dtype, donate=initial_state is None,
         )
     else:
