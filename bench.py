@@ -25,8 +25,20 @@ import time
 
 
 def main() -> None:
+    import os
+
     import jax
     import jax.numpy as jnp
+
+    # Persistent compilation cache: repeated bench runs (and the CI
+    # driver) skip the remote compile entirely on a warm cache.
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
 
     from quantum_simulations_tpu.circuit import library as lib
     from quantum_simulations_tpu.runtime import simulator
