@@ -13,7 +13,7 @@ from . import force, setup_platform, timeit, warm_grant
 
 
 def run(sizes=(20, 24), families=("ghz", "qft", "nonstab", "sycamore"),
-        modes=("panel", "fused"), dtype="complex64", reps: int = 3) -> dict:
+        modes=("window", "panel", "fused"), dtype="complex64", reps: int = 3) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -35,6 +35,9 @@ def run(sizes=(20, 24), families=("ghz", "qft", "nonstab", "sycamore"),
                 t0 = time.time()
                 if mode == "panel":
                     fn = simulator.build_panel_circuit_fn(
+                        cd, dtype=dtype, donate=False)
+                elif mode == "window":
+                    fn = simulator.build_window_circuit_fn(
                         cd, dtype=dtype, donate=False)
                 else:
                     fn = simulator.build_circuit_fn(

@@ -24,7 +24,7 @@ def test_kernel_bw_small():
 def test_e2e_small():
     from quantum_simulations_tpu.bench import e2e
     out = e2e.run(sizes=(10,), families=("ghz", "qft"), reps=1)
-    assert len(out["results"]) == 4
+    assert len(out["results"]) == 6  # 2 families x 3 modes
     for r in out["results"]:
         assert r["wall_s"] > 0 and r["amp_updates_per_s"] > 0
 
