@@ -123,4 +123,6 @@ def simulate_sharded(
 
 def collect_state(psi: jax.Array) -> np.ndarray:
     """Gather the sharded state to host numpy (test/debug path)."""
-    return np.asarray(jax.device_get(psi))
+    from ..utils.transfer import fetch_array
+
+    return fetch_array(psi)

@@ -68,5 +68,7 @@ def lax_with_sharding(x, sharding):
 
 def put_state(mesh: Mesh, psi, dtype=jnp.complex64) -> jax.Array:
     """Device-put a host statevector with the mesh sharding."""
+    from ..utils.transfer import upload_array
+
     arr = np.asarray(psi).astype(jnp.dtype(dtype).name)
-    return jax.device_put(arr, state_sharding(mesh))
+    return upload_array(arr, sharding=state_sharding(mesh))

@@ -37,7 +37,9 @@ def _buf_path(work_dir: Path, name: str) -> Path:
 
 
 def _save_state(work_dir: Path, name: str, psi) -> None:
-    host = np.asarray(jax.device_get(psi))
+    from ..utils.transfer import fetch_array
+
+    host = fetch_array(psi)
     import io
 
     bio = io.BytesIO()
