@@ -155,6 +155,17 @@ def positioned_panel_planar(
     while A % BA:
         BA //= 2
     fdtype = re.dtype
+    # VMEM budget: 4 live blocks (2 in + 2 out planes), double-buffered
+    # by the pipeline, inside the 16 MB scoped limit -> keep each block
+    # <= 1 MiB (measured: 2 MiB blocks at 8x512x128 overflow by 20 MB).
+    itemsize = np.dtype(fdtype).itemsize
+    while BA * CB * dim * itemsize > (1 << 20):
+        if CB > 128:
+            CB //= 2
+        elif BA > 1:
+            BA //= 2
+        else:
+            break
     wr = np.ascontiguousarray(W.real, dtype=fdtype)
     wi = np.ascontiguousarray(W.imag, dtype=fdtype)
 
