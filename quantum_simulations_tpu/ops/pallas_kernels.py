@@ -157,9 +157,9 @@ def positioned_panel_planar(
     fdtype = re.dtype
     # VMEM budget: 4 live blocks (2 in + 2 out planes), double-buffered
     # by the pipeline, inside the 16 MB scoped limit -> keep each block
-    # <= 1 MiB (measured: 2 MiB blocks at 8x512x128 overflow by 20 MB).
+    # <= 512 KiB (1 MiB blocks still overflowed via einsum temps).
     itemsize = np.dtype(fdtype).itemsize
-    while BA * CB * dim * itemsize > (1 << 20):
+    while BA * CB * dim * itemsize > (1 << 19):
         if CB > 128:
             CB //= 2
         elif BA > 1:
