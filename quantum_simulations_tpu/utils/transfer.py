@@ -13,16 +13,26 @@ import jax.numpy as jnp
 import numpy as np
 
 
+@jax.jit
+def _split_planes(x):
+    return jnp.real(x), jnp.imag(x)
+
+
 def fetch_array(x) -> np.ndarray:
-    """device_get that works for complex arrays on restricted backends."""
+    """device_get that works for complex arrays on restricted backends.
+
+    The split must run under jit: eager ops can be unsupported on the
+    same backends that reject complex transfers.
+    """
     try:
         return np.asarray(jax.device_get(x))
     except Exception:
         if jnp.dtype(x.dtype).kind != "c":
             raise
-        re = np.asarray(jax.device_get(jnp.real(x)))
-        im = np.asarray(jax.device_get(jnp.imag(x)))
-        return (re + 1j * im).astype(np.dtype(x.dtype))
+        re, im = _split_planes(x)
+        return (
+            np.asarray(jax.device_get(re)) + 1j * np.asarray(jax.device_get(im))
+        ).astype(np.dtype(x.dtype))
 
 
 def upload_array(host: np.ndarray, *, sharding=None):
