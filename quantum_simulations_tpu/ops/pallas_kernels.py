@@ -148,24 +148,23 @@ def positioned_panel_planar(
     C = 1 << pos
     A = N // (dim * C)
     assert pos >= 7 or interpret, "positioned panel needs pos >= 7 on TPU"
-    CB = min(col_block, C)
-    while C % CB:
-        CB //= 2
-    BA = min(batch_block, A)
-    while A % BA:
-        BA //= 2
     fdtype = re.dtype
+    itemsize = np.dtype(fdtype).itemsize
     # VMEM budget: 4 live blocks (2 in + 2 out planes), double-buffered
     # by the pipeline, inside the 16 MB scoped limit -> keep each block
-    # <= 512 KiB (1 MiB blocks still overflowed via einsum temps).
-    itemsize = np.dtype(fdtype).itemsize
-    while BA * CB * dim * itemsize > (1 << 19):
-        if CB > 128:
-            CB //= 2
-        elif BA > 1:
-            BA //= 2
-        else:
-            break
+    # <= 512 KiB (1 MiB blocks overflowed via einsum temps).  Spend the
+    # budget on batch rows when A is large, on columns when A is small
+    # (at pos near the top A -> 1 and wide CB is the only way to keep
+    # per-grid-step DMA efficient).
+    max_elems = max((1 << 19) // (itemsize * dim), 128)  # BA*CB budget
+    BA = min(batch_block, A, max(1, max_elems // 128))
+    while A % BA:
+        BA //= 2
+    CB = min(col_block * batch_block // BA if col_block else C,
+             max_elems // BA, C)
+    while C % CB:
+        CB //= 2
+    CB = max(CB, min(128, C))
     wr = np.ascontiguousarray(W.real, dtype=fdtype)
     wi = np.ascontiguousarray(W.imag, dtype=fdtype)
 
