@@ -366,9 +366,72 @@ def _general_plane_apply(psi, qubits: tuple[int, ...], U, lane: int):
     return assemble((), 0).reshape(psi.size)
 
 
+def apply_diag_bcast(psi: jnp.ndarray, qubits: tuple[int, ...], U: np.ndarray,
+                     *, lane_bits: int | None = None) -> jnp.ndarray:
+    """Diagonal gate as ONE broadcast multiply (no matmul, no gather).
+
+    The state is viewed with a 2-axis per high gate qubit and the lane
+    bits as the trailing 2^lane axis; the gate's diagonal expands to a
+    tiny constant tensor broadcast over that view.  Runs of diagonal
+    gates (QFT's CR ladder, QAOA's RZZ layers, CZ/CP anywhere) fuse
+    into a single elementwise HBM pass under XLA — the trailing dim
+    stays >= 128 so no layout padding occurs.
+    """
+    lane = _lane_width(psi.size, lane_bits)
+    m = len(qubits)
+    d = np.diag(np.asarray(U, dtype=_np_dtype(psi.dtype)))
+    low = [q for q in qubits if q < lane]
+    high = sorted((q for q in qubits if q >= lane), reverse=True)
+
+    # Build the interleaved view (A0, 2, A1, 2, ..., C) over high qubits.
+    shape: list[int] = []
+    gate_axis: list[bool] = []
+    prev = int(np.log2(psi.size))
+    for q in high:
+        shape.extend([1 << (prev - q - 1), 2])
+        gate_axis.extend([False, True])
+        prev = q
+    trailing = 1 << prev  # contains all bits < min(high) incl. the lanes
+    lane_dim = 1 << lane
+    shape.extend([trailing // lane_dim, lane_dim])
+    gate_axis.extend([False, False])
+    x = psi.reshape(shape)
+
+    # Constant phase tensor: one 2-axis per high qubit + the lane axis.
+    p_shape = [
+        (2 if is_gate else 1) for is_gate, s in zip(gate_axis, shape)
+    ]
+    p_shape[-1] = lane_dim
+    P = np.zeros(p_shape, dtype=_np_dtype(psi.dtype))
+    hi_patterns = [
+        tuple((t >> (len(high) - 1 - j)) & 1 for j in range(len(high)))
+        for t in range(1 << len(high))
+    ]
+    lanes = np.arange(lane_dim)
+    for bits in hi_patterns:
+        sub = np.zeros(lane_dim, dtype=np.int64)
+        for j, q in enumerate(qubits):
+            if q < lane:
+                sub |= ((lanes >> q) & 1) << (m - 1 - j)
+            else:
+                hj = high.index(q)
+                sub |= bits[hj] << (m - 1 - j)
+        idx: list = []
+        hj = 0
+        for is_gate in gate_axis[:-1]:
+            if is_gate:
+                idx.append(bits[hj])
+                hj += 1
+            else:
+                idx.append(0)
+        P[tuple(idx)] = d[sub]
+    return (x * jnp.asarray(P)).reshape(psi.size)
+
+
 def apply_gate(psi: jnp.ndarray, qubits: tuple[int, ...], U, *, lane_bits: int | None = None) -> jnp.ndarray:
     """TPU-layout-aware gate application (the production dispatcher).
 
+    * diagonal           -> one broadcast multiply (fuses with neighbours)
     * all qubits < lane  -> one 2^lane-wide MXU matmul
     * all qubits >= lane -> strided-plane elementwise path
     * mixed              -> high-bit plane decomposition with lane
@@ -376,6 +439,12 @@ def apply_gate(psi: jnp.ndarray, qubits: tuple[int, ...], U, *, lane_bits: int |
     """
     lane = _lane_width(psi.size, lane_bits)
     qubits = tuple(qubits)
+    if (
+        isinstance(U, np.ndarray)
+        and len(qubits) <= 4
+        and np.allclose(U, np.diag(np.diag(U)), atol=0)
+    ):
+        return apply_diag_bcast(psi, qubits, U, lane_bits=lane_bits)
     low = [q for q in qubits if q < lane]
     high = [q for q in qubits if q >= lane]
     if not low:
