@@ -17,14 +17,14 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..circuit.contract import circuit_hash, validate_circuit_dict
 from ..circuit.fusion import Step, compile_steps
 from ..ops import exchange
 from ..runtime.simulator import apply_local_ops
-from .mesh import AXIS, shard_width, state_sharding
+from .mesh import AXIS, shard_width
 
 
 def _steps_body(steps: list[Step], k: int, axis_name: str):

@@ -21,7 +21,6 @@ import json
 import os
 from pathlib import Path
 
-import jax
 import numpy as np
 
 from ..circuit.contract import circuit_hash, validate_circuit_dict

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..circuit.contract import circuit_hash, validate_circuit_dict
-from ..circuit.fusion import GateOp, LowPanelOp, Step, compile_steps
+from ..circuit.fusion import GateOp, LowPanelOp, compile_steps
 from ..ops import dense
 
 
