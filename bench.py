@@ -52,16 +52,28 @@ def main() -> None:
     warm = jax.jit(lambda: jnp.sum(jnp.ones((128, 128), jnp.float32)))
     float(jax.device_get(warm()))
 
-    # Fixed-window planar-Pallas mode: measured 0.39 s steady at n=28 on
-    # v5e (358x the reference's 139 s); falls back to the rotating-panel
-    # XLA mode if the Pallas path fails on this backend.
+    # Fixed-window planar-Pallas mode: measured 0.37 s steady at n=28 on
+    # v5e (376x the reference's 139 s); falls back to the rotating-panel
+    # XLA mode if the Pallas path fails on this backend.  The remote
+    # compile service 500s intermittently — retry before falling back.
+    def _compile_with_retries(build, attempts=3):
+        last = None
+        for i in range(attempts):
+            try:
+                return build().lower(S).compile()
+            except Exception as e:  # transient tpu_compile_helper 500s
+                last = e
+                time.sleep(5 * (i + 1))
+        raise last
+
     try:
-        fn = simulator.build_window_circuit_fn(
-            cd, dtype="complex64", donate=False, interpret=False)
-        compiled = fn.lower(S).compile()
+        compiled = _compile_with_retries(
+            lambda: simulator.build_window_circuit_fn(
+                cd, dtype="complex64", donate=False, interpret=False))
     except Exception:
-        fn = simulator.build_panel_circuit_fn(cd, dtype="complex64", donate=False)
-        compiled = fn.lower(S).compile()
+        compiled = _compile_with_retries(
+            lambda: simulator.build_panel_circuit_fn(
+                cd, dtype="complex64", donate=False))
     norm2 = jax.jit(
         lambda x: jnp.sum(jnp.real(x) ** 2 + jnp.imag(x) ** 2)
     ).lower(S).compile()
