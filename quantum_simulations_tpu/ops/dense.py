@@ -393,23 +393,31 @@ def apply_diag_bcast(psi: jnp.ndarray, qubits: tuple[int, ...], U: np.ndarray,
         prev = q
     trailing = 1 << prev  # contains all bits < min(high) incl. the lanes
     lane_dim = 1 << lane
-    shape.extend([trailing // lane_dim, lane_dim])
-    gate_axis.extend([False, False])
+    # Only split out the lane axis when the gate actually touches low
+    # qubits: otherwise the phase constant is 2^|high| entries instead
+    # of 2^|high| * 128 (program size matters — a 325-CR QFT emitted
+    # 5 MB of MLIR constants with unconditional lane axes).
+    if low:
+        shape.extend([trailing // lane_dim, lane_dim])
+        gate_axis.extend([False, False])
+        last_dim = lane_dim
+    else:
+        shape.append(trailing)
+        gate_axis.append(False)
+        last_dim = 1
     x = psi.reshape(shape)
 
-    # Constant phase tensor: one 2-axis per high qubit + the lane axis.
-    p_shape = [
-        (2 if is_gate else 1) for is_gate, s in zip(gate_axis, shape)
-    ]
-    p_shape[-1] = lane_dim
+    # Constant phase tensor: one 2-axis per high gate qubit (+ lanes).
+    p_shape = [(2 if is_gate else 1) for is_gate in gate_axis]
+    p_shape[-1] = last_dim
     P = np.zeros(p_shape, dtype=_np_dtype(psi.dtype))
     hi_patterns = [
         tuple((t >> (len(high) - 1 - j)) & 1 for j in range(len(high)))
         for t in range(1 << len(high))
     ]
-    lanes = np.arange(lane_dim)
+    lanes = np.arange(last_dim)
     for bits in hi_patterns:
-        sub = np.zeros(lane_dim, dtype=np.int64)
+        sub = np.zeros(last_dim, dtype=np.int64)
         for j, q in enumerate(qubits):
             if q < lane:
                 sub |= ((lanes >> q) & 1) << (m - 1 - j)
