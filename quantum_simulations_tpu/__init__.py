@@ -19,8 +19,23 @@ from .circuit.contract import (
 )
 from .circuit import gates, library
 from .oracle import dense_numpy as oracle
+from .utils.config import SimulatorConfig
 
 __version__ = "0.1.0"
+
+
+def simulate(circuit_dict, config=None, **kw):
+    """Top-level convenience: see :func:`quantum_simulations_tpu.api.simulate`."""
+    from . import api
+
+    return api.simulate(circuit_dict, config, **kw)
+
+
+def sample(circuit_dict, shots, **kw):
+    from . import api
+
+    return api.sample(circuit_dict, shots, **kw)
+
 
 __all__ = [
     "ENDIANNESS",
@@ -29,5 +44,8 @@ __all__ = [
     "gates",
     "library",
     "oracle",
+    "simulate",
+    "sample",
+    "SimulatorConfig",
     "__version__",
 ]
