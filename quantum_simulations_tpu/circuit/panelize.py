@@ -200,10 +200,16 @@ def compile_panel_schedule(
 
 @dataclass(frozen=True)
 class WindowPanelOp:
-    """Fused 2^w x 2^w unitary on the FIXED bit window [pos, pos+w)."""
+    """Fused 2^w x 2^w unitary on the FIXED bit window [pos, pos+w).
+
+    ``run`` keeps the constituent (window-relative qubits, small U)
+    pairs so executors can compose the panel in-graph from tiny
+    literals instead of baking the expanded W (program-size economy).
+    """
     pos: int
     W: np.ndarray
     n_fused: int
+    run: tuple = ()
 
 
 def _fit_start(qubits: list[int], n: int, w: int) -> int | None:
@@ -324,8 +330,27 @@ def compile_window_schedule(
             pending = still
         for s in sorted(buckets):
             run = buckets[s]
-            w_eff = min(w, n - s)
-            out.append(WindowPanelOp(s, compose_low_panel(run, w_eff), len(run)))
+            if s == 0:
+                # Lane window: full 2^w so the matmul dim keeps 128 lanes.
+                w_eff = min(w, n)
+                out.append(WindowPanelOp(
+                    s, compose_low_panel(run, w_eff), len(run),
+                    run=tuple(run)))
+                continue
+            # Positioned window: shrink to the qubits actually touched
+            # (width >= 3 to avoid sublane padding) — a lone H emits an
+            # 8x8 constant instead of 128x128, which keeps program size
+            # sane for serial circuits like QFT (measured 5 MB of MLIR
+            # from full-width panels).
+            lo = min(q for qs, _ in run for q in qs)
+            hi = max(q for qs, _ in run for q in qs)
+            width = max(hi - lo + 1, 3)
+            pos = min(s + lo, n - width)
+            shift = pos - s
+            rel_run = [(tuple(q - shift for q in qs), U) for qs, U in run]
+            out.append(WindowPanelOp(
+                pos, compose_low_panel(rel_run, width), len(run),
+                run=tuple(rel_run)))
         out.extend(generics)
         if not progress and pending:
             raise AssertionError("window scheduler stalled")  # unreachable

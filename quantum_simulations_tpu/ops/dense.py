@@ -198,6 +198,28 @@ def compose_low_panel(ops: list[tuple[tuple[int, ...], np.ndarray]], width: int)
     return W
 
 
+def compose_low_panel_traced(
+    ops: list[tuple[tuple[int, ...], np.ndarray]], width: int, fdtype,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """In-graph panel composition: returns traced (Wr, Wi) f32 planes.
+
+    Only the tiny per-gate matrices enter the program as literals; the
+    2^width-wide expansion and the composition products are graph ops
+    that XLA constant-folds server-side.  This keeps compile payloads
+    small (a baked 128x128 plane is 64 KB of literal PER PANEL — serial
+    circuits emitted megabytes).
+    """
+    dim = 1 << width
+    cdtype = jnp.complex128 if jnp.dtype(fdtype) == jnp.float64 else jnp.complex64
+    W = jnp.eye(dim, dtype=cdtype)
+    for qubits, U in ops:
+        E = _expand_low_traced(
+            tuple(qubits), jnp.asarray(np.asarray(U, dtype=cdtype)), width
+        )
+        W = jnp.matmul(E, W, precision=MATMUL_PRECISION)
+    return jnp.real(W).astype(fdtype), jnp.imag(W).astype(fdtype)
+
+
 def apply_low_panel(psi: jnp.ndarray, W: np.ndarray) -> jnp.ndarray:
     """Apply a fused low-qubit block: one MXU matmul over the whole state."""
     width_dim = W.shape[0]
@@ -332,9 +354,13 @@ def _general_plane_apply(psi, qubits: tuple[int, ...], U, lane: int):
             sub = u_np[np.ix_(ro + lo_off, ci + lo_off)]
             if not sub.any():
                 return None
-            L = expand_to_low_block(low, sub, lane)
-            Lc = np.asarray(L, dtype=_np_dtype(psi.dtype))
-            return lambda d: _lane_matmul(d, jnp.asarray(Lc), lane)
+            # Ship only the tiny 2^p x 2^p block; the 2^lane-wide
+            # expansion happens in-graph (XLA constant-folds it) —
+            # baking the expanded matrix put a 128 KB literal in the
+            # program per block, which blew up compile payloads.
+            sub_c = np.asarray(sub, dtype=_np_dtype(psi.dtype))
+            L = _expand_low_traced(low, jnp.asarray(sub_c), lane)
+            return lambda d: _lane_matmul(d, L, lane)
         sub = U[jnp.asarray(ro + lo_off)[:, None], jnp.asarray(ci + lo_off)[None, :]]
         L = _expand_low_traced(low, sub, lane)
         return lambda d: _lane_matmul(d, L, lane)

@@ -28,6 +28,20 @@ HI = jax.lax.Precision.HIGHEST
 _DN = (((1,), (1,)), ((), ()))  # contract dim1 x dim1: a @ b.T
 
 
+def _w_planes(W, fdtype):
+    """Normalize a panel unitary to (wr, wi) planes.
+
+    Accepts a numpy matrix (baked as literals) or a traced
+    (wr, wi) tuple from ``dense.compose_low_panel_traced`` (tiny
+    literals + in-graph composition; preferred for program size).
+    """
+    if isinstance(W, tuple):
+        return W
+    wr = np.ascontiguousarray(np.asarray(W).real, dtype=fdtype)
+    wi = np.ascontiguousarray(np.asarray(W).imag, dtype=fdtype)
+    return jnp.asarray(wr), jnp.asarray(wi)
+
+
 def _block_rows(R: int, target: int = 1024) -> int:
     br = min(target, R)
     while R % br:
@@ -69,13 +83,12 @@ def panel_apply_planar(
     output tile is written transposed, so the flat result is already
     in rotated order.
     """
-    dim = W.shape[0]
+    wr, wi = _w_planes(W, re.dtype)
+    dim = wr.shape[0]
     N = re.size
     R = N // dim
     BR = _block_rows(R, block_rows)
     fdtype = re.dtype
-    wr = np.ascontiguousarray(W.real, dtype=fdtype)
-    wi = np.ascontiguousarray(W.imag, dtype=fdtype)
 
     kern = functools.partial(_panel_kernel, rotate=rotate)
     if rotate:
@@ -103,8 +116,7 @@ def panel_apply_planar(
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
-    )(re.reshape(R, dim), im.reshape(R, dim),
-      jnp.asarray(wr), jnp.asarray(wi))
+    )(re.reshape(R, dim), im.reshape(R, dim), wr, wi)
     return ore.reshape(N), oim.reshape(N)
 
 
@@ -143,7 +155,8 @@ def positioned_panel_planar(
     Fixed-window scheduling with positioned panels eliminates the
     rotation transposes of the sliding schedule entirely.
     """
-    dim = W.shape[0]
+    wr, wi = _w_planes(W, re.dtype)
+    dim = wr.shape[0]
     N = re.size
     C = 1 << pos
     A = N // (dim * C)
@@ -165,8 +178,6 @@ def positioned_panel_planar(
     while C % CB:
         CB //= 2
     CB = max(CB, min(128, C))
-    wr = np.ascontiguousarray(W.real, dtype=fdtype)
-    wi = np.ascontiguousarray(W.imag, dtype=fdtype)
 
     ore, oim = pl.pallas_call(
         _positioned_kernel,
@@ -189,8 +200,7 @@ def positioned_panel_planar(
         ],
         out_shape=[jax.ShapeDtypeStruct((A, dim, C), fdtype)] * 2,
         interpret=interpret,
-    )(re.reshape(A, dim, C), im.reshape(A, dim, C),
-      jnp.asarray(wr), jnp.asarray(wi))
+    )(re.reshape(A, dim, C), im.reshape(A, dim, C), wr, wi)
     return ore.reshape(N), oim.reshape(N)
 
 
