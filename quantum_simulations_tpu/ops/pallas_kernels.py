@@ -169,7 +169,9 @@ def positioned_panel_planar(
     # budget on batch rows when A is large, on columns when A is small
     # (at pos near the top A -> 1 and wide CB is the only way to keep
     # per-grid-step DMA efficient).
-    max_elems = max((1 << 19) // (itemsize * dim), 128)  # BA*CB budget
+    # Mosaic pads the contraction dim to the 128-wide MXU, so budget
+    # with the PADDED dim (a 32-wide panel at CB=4096 hit 22 MB scoped).
+    max_elems = max((1 << 19) // (itemsize * max(dim, 128)), 128)
     BA = min(batch_block, A, max(1, max_elems // 128))
     while A % BA:
         BA //= 2
