@@ -153,21 +153,16 @@ def build_window_circuit_fn(
         re, im = pk.to_planar(psi)
         for op in ops:
             if isinstance(op, WindowPanelOp):
-                # Compose the panel in-graph from the per-gate literals
-                # (XLA folds it); baking the expanded 2^w x 2^w planes
-                # put 64 KB of literal per panel into the program.
-                width = op.W.shape[0].bit_length() - 1
-                if op.run:
-                    W = dense.compose_low_panel_traced(
-                        list(op.run), width, re.dtype)
-                else:
-                    W = op.W
+                # Panels ship as baked literals: composing them in-graph
+                # from per-gate constants is NOT folded by XLA and ran
+                # 4.4x slower at n=28.  Literal size stays small because
+                # the scheduler emits minimal-width positioned panels.
                 if op.pos == 0:
                     re, im = pk.panel_apply_planar(
-                        re, im, W, interpret=interpret)
+                        re, im, op.W, interpret=interpret)
                 else:
                     re, im = pk.positioned_panel_planar(
-                        re, im, W, op.pos, interpret=interpret)
+                        re, im, op.W, op.pos, interpret=interpret)
             else:
                 c = dense.apply_gate(
                     pk.from_planar(re, im, dtype), op.qubits, op.U)
