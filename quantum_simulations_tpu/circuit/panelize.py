@@ -328,29 +328,23 @@ def compile_window_schedule(
                 mark(i)
                 progress = changed = True
             pending = still
+        converted: list[PhysGateOp] = []
         for s in sorted(buckets):
             run = buckets[s]
-            if s == 0:
-                # Lane window: full 2^w so the matmul dim keeps 128 lanes.
-                w_eff = min(w, n)
-                out.append(WindowPanelOp(
-                    s, compose_low_panel(run, w_eff), len(run),
-                    run=tuple(run)))
+            if len(run) < 3 and s != 0:
+                # A 1-2 gate panel does not amortise a matmul pass (and
+                # narrow-width panels have pathological grids: dim-8
+                # blocks ran 4x slower end-to-end) — the plane/broadcast
+                # paths handle these in cheap fusable passes.
+                for qs, U in run:
+                    converted.append(PhysGateOp(
+                        tuple(q + s for q in qs), U, "ex-panel"))
                 continue
-            # Positioned window: shrink to the qubits actually touched
-            # (width >= 3 to avoid sublane padding) — a lone H emits an
-            # 8x8 constant instead of 128x128, which keeps program size
-            # sane for serial circuits like QFT (measured 5 MB of MLIR
-            # from full-width panels).
-            lo = min(q for qs, _ in run for q in qs)
-            hi = max(q for qs, _ in run for q in qs)
-            width = max(hi - lo + 1, 3)
-            pos = min(s + lo, n - width)
-            shift = pos - s
-            rel_run = [(tuple(q - shift for q in qs), U) for qs, U in run]
+            w_eff = min(w, n - s)
             out.append(WindowPanelOp(
-                pos, compose_low_panel(rel_run, width), len(run),
-                run=tuple(rel_run)))
+                s, compose_low_panel(run, w_eff), len(run),
+                run=tuple(run)))
+        generics = converted + generics
         out.extend(generics)
         if not progress and pending:
             raise AssertionError("window scheduler stalled")  # unreachable
