@@ -348,6 +348,63 @@ def compile_window_schedule(
         out.extend(generics)
         if not progress and pending:
             raise AssertionError("window scheduler stalled")  # unreachable
+    return _merge_diag_runs(out)
+
+
+DIAG_MERGE_MAX_QUBITS = 11
+
+
+def _merge_diag_runs(ops: list, max_qubits: int = DIAG_MERGE_MAX_QUBITS) -> list:
+    """Fuse consecutive diagonal PhysGateOps into combined-phase ops.
+
+    Diagonal gates commute, so a run of them composes into one diagonal
+    over the union of their qubits (capped at ``max_qubits`` so the
+    combined phase vector stays a small literal).  QFT-26's 229
+    window-spanning CRs collapse to ~30 ops — the per-op count was
+    what broke the remote compiler.
+    """
+    out: list = []
+    run: list[PhysGateOp] = []
+
+    def flush() -> None:
+        nonlocal run
+        while run:
+            group = [run.pop(0)]
+            union = set(group[0].qubits)
+            while run:
+                cand = set(run[0].qubits) | union
+                if len(cand) > max_qubits:
+                    break
+                union = cand
+                group.append(run.pop(0))
+            if len(group) == 1:
+                out.append(group[0])
+                continue
+            qubits = tuple(sorted(union))
+            m = len(qubits)
+            pos_of = {q: j for j, q in enumerate(qubits)}
+            d = np.ones(1 << m, dtype=np.complex128)
+            idx = np.arange(1 << m)
+            for g in group:
+                sub = np.zeros(1 << m, dtype=np.int64)
+                mg = len(g.qubits)
+                for j, q in enumerate(g.qubits):
+                    bit = (idx >> (m - 1 - pos_of[q])) & 1
+                    sub |= bit << (mg - 1 - j)
+                d *= np.diag(g.U)[sub]
+            out.append(PhysGateOp(qubits, np.diag(d), "fused-diag"))
+
+    for op in ops:
+        if (
+            isinstance(op, PhysGateOp)
+            and len(op.qubits) <= 3
+            and G.is_diagonal(op.U)
+        ):
+            run.append(op)
+        else:
+            flush()
+            out.append(op)
+    flush()
     return out
 
 
