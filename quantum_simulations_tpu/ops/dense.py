@@ -531,3 +531,157 @@ def rotate_bits_right(psi: jnp.ndarray, r: int) -> jnp.ndarray:
 def zero_state(m: int, dtype=jnp.complex64) -> jnp.ndarray:
     psi = jnp.zeros(1 << m, dtype=dtype)
     return psi.at[0].set(1.0)
+
+
+# ---------------------------------------------------------------------------
+# Planar (split re/im) gate application — the window executor's native form
+# ---------------------------------------------------------------------------
+
+def _planar_terms(coeffs, planes):
+    """sum(c * x) on (re, im) plane pairs with constant-zero elision."""
+    acc_re = None
+    acc_im = None
+
+    def add(acc, term):
+        return term if acc is None else acc + term
+
+    for c, (xr, xi) in zip(coeffs, planes):
+        cr, ci = float(np.real(c)), float(np.imag(c))
+        if cr != 0.0:
+            f = (lambda t: t) if cr == 1.0 else (lambda t, cr=cr: cr * t)
+            acc_re = add(acc_re, f(xr))
+            acc_im = add(acc_im, f(xi))
+        if ci != 0.0:
+            acc_re = add(acc_re, (-ci) * xi)
+            acc_im = add(acc_im, ci * xr)
+    if acc_re is None:
+        acc_re = jnp.zeros_like(planes[0][0])
+        acc_im = jnp.zeros_like(planes[0][1])
+    return acc_re, acc_im
+
+
+def apply_gate_planar(re, im, qubits: tuple[int, ...], U: np.ndarray,
+                      *, lane_bits: int | None = None):
+    """Gate application on f32 re/im planes (no complex materialisation).
+
+    Handles the cases the fixed-window executor needs between Pallas
+    panels: constant diagonal gates (broadcast multiply on the planes)
+    and 1q/2q gates on high qubits (strided-plane linear combinations).
+    Returns None when the gate needs the complex mixed path (caller
+    converts).  Everything here is elementwise, so consecutive planar
+    gates fuse into shared HBM passes under XLA.
+    """
+    lane = _lane_width(re.size, lane_bits)
+    qubits = tuple(qubits)
+    U = np.asarray(U)
+    m = len(qubits)
+
+    if m <= 4 and np.allclose(U, np.diag(np.diag(U)), atol=0):
+        # psi' = P * psi  ->  re' = Pr*re - Pi*im ; im' = Pi*re + Pr*im.
+        Pr, Pi, view_shape = _diag_bcast_planes(re.size, qubits, U, lane,
+                                                np.dtype(re.dtype))
+        xr = re.reshape(view_shape)
+        xi = im.reshape(view_shape)
+        o_re = xr * Pr - (xi * Pi if Pi is not None else 0)
+        o_im = (xr * Pi if Pi is not None else 0) + xi * Pr
+        return o_re.reshape(re.size), o_im.reshape(im.size)
+
+    if all(q >= lane for q in qubits) and m <= 2:
+        if m == 1:
+            q = qubits[0]
+            C = 1 << q
+            R = re.size >> (q + 1)
+            xr = re.reshape(R, 2, C)
+            xi = im.reshape(R, 2, C)
+            planes = [(xr[:, b, :], xi[:, b, :]) for b in (0, 1)]
+            o0 = _planar_terms(U[0], planes)
+            o1 = _planar_terms(U[1], planes)
+            o_re = jnp.stack((o0[0], o1[0]), axis=1).reshape(re.size)
+            o_im = jnp.stack((o0[1], o1[1]), axis=1).reshape(im.size)
+            return o_re, o_im
+        qa, qb = qubits
+        hi, lo = (qa, qb) if qa > qb else (qb, qa)
+        C = 1 << lo
+        B = 1 << (hi - lo - 1)
+        A = re.size >> (hi + 1)
+        xr = re.reshape(A, 2, B, 2, C)
+        xi = im.reshape(A, 2, B, 2, C)
+
+        def sub(h, l):
+            return (h << 1) | l if qa == hi else (l << 1) | h
+
+        planes = {
+            (h, l): (xr[:, h, :, l, :], xi[:, h, :, l, :])
+            for h in (0, 1) for l in (0, 1)
+        }
+        outs = {}
+        for h in (0, 1):
+            for l in (0, 1):
+                row = sub(h, l)
+                coeffs = [U[row, sub(h2, l2)] for h2 in (0, 1) for l2 in (0, 1)]
+                ordered = [planes[(h2, l2)] for h2 in (0, 1) for l2 in (0, 1)]
+                outs[(h, l)] = _planar_terms(coeffs, ordered)
+
+        def assemble(plane_idx):
+            lo_st = [
+                jnp.stack((outs[(h, 0)][plane_idx], outs[(h, 1)][plane_idx]),
+                          axis=2)
+                for h in (0, 1)
+            ]
+            return jnp.stack(lo_st, axis=1).reshape(re.size)
+
+        return assemble(0), assemble(1)
+
+    return None  # mixed path: caller converts to complex
+
+
+def _diag_bcast_planes(size, qubits, U, lane, fdtype):
+    """(Pr, Pi, view_shape) constants for a planar diagonal broadcast."""
+    m = len(qubits)
+    d = np.diag(np.asarray(U, dtype=np.complex128))
+    low = [q for q in qubits if q < lane]
+    high = sorted((q for q in qubits if q >= lane), reverse=True)
+
+    shape: list[int] = []
+    gate_axis: list[bool] = []
+    prev = int(np.log2(size))
+    for q in high:
+        shape.extend([1 << (prev - q - 1), 2])
+        gate_axis.extend([False, True])
+        prev = q
+    trailing = 1 << prev
+    lane_dim = 1 << lane
+    if low:
+        shape.extend([trailing // lane_dim, lane_dim])
+        gate_axis.extend([False, False])
+        last_dim = lane_dim
+    else:
+        shape.append(trailing)
+        gate_axis.append(False)
+        last_dim = 1
+
+    p_shape = [(2 if g else 1) for g in gate_axis]
+    p_shape[-1] = last_dim
+    P = np.zeros(p_shape, dtype=np.complex128)
+    lanes = np.arange(last_dim)
+    for t in range(1 << len(high)):
+        bits = tuple((t >> (len(high) - 1 - j)) & 1 for j in range(len(high)))
+        sub = np.zeros(last_dim, dtype=np.int64)
+        for j, q in enumerate(qubits):
+            if q < lane:
+                sub |= ((lanes >> q) & 1) << (m - 1 - j)
+            else:
+                sub |= bits[high.index(q)] << (m - 1 - j)
+        idx: list = []
+        hj = 0
+        for g in gate_axis[:-1]:
+            if g:
+                idx.append(bits[hj])
+                hj += 1
+            else:
+                idx.append(0)
+        P[tuple(idx)] = d[sub]
+    Pr = jnp.asarray(np.real(P).astype(fdtype))
+    Pi_np = np.imag(P).astype(fdtype)
+    Pi = jnp.asarray(Pi_np) if Pi_np.any() else None
+    return Pr, Pi, shape

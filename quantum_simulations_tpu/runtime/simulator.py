@@ -164,9 +164,13 @@ def build_window_circuit_fn(
                     re, im = pk.positioned_panel_planar(
                         re, im, op.W, op.pos, interpret=interpret)
             else:
-                c = dense.apply_gate(
-                    pk.from_planar(re, im, dtype), op.qubits, op.U)
-                re, im = pk.to_planar(c)
+                planar = dense.apply_gate_planar(re, im, op.qubits, op.U)
+                if planar is not None:
+                    re, im = planar
+                else:  # mixed low/high non-diagonal: complex path
+                    c = dense.apply_gate(
+                        pk.from_planar(re, im, dtype), op.qubits, op.U)
+                    re, im = pk.to_planar(c)
         return pk.from_planar(re, im, dtype)
 
     jitted = jax.jit(fn, donate_argnums=(0,) if donate else ())
