@@ -31,7 +31,7 @@ def main(argv=None) -> int:
     common = argparse.ArgumentParser(add_help=False)
     common.add_argument("circuit", help="circuit JSON or .qasm file")
     common.add_argument("--dtype", default="complex64")
-    common.add_argument("--mode", default="panel", choices=["panel", "fused"])
+    common.add_argument("--mode", default="panel", choices=["panel", "fused", "window", "auto"])
     common.add_argument("--devices", type=int, default=None)
     common.add_argument("--stripe-qubits", type=int, default=None)
     common.add_argument("--spill-backend", default="host",
@@ -55,7 +55,8 @@ def main(argv=None) -> int:
 
     p_bench = sub.add_parser("bench")
     p_bench.add_argument("which", choices=[
-        "kernel_bw", "e2e", "sweep", "suite", "spill_bw"])
+        "kernel_bw", "e2e", "sweep", "suite", "spill_bw",
+        "baseline_configs"])
 
     args = ap.parse_args(argv)
 

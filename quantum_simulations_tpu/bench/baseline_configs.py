@@ -1,0 +1,85 @@
+"""The five BASELINE.md workload configs, end to end on the device.
+
+Mirrors the driver's target list (``/root/repo/BASELINE.md``):
+GHZ-20 dense; QFT-26 with CR + fusion; Sycamore-style random circuit
+(n=26 single-chip stand-in for the 30q mesh config); QAOA MaxCut with
+RZZ/RX layers; and the reference's n=28 non-stabilizer scaling tier.
+The 40q out-of-core config needs a real TPU VM (host DMA) and is
+exercised structurally by ``spill_bw``.
+
+Run: ``python -m quantum_simulations_tpu.bench.baseline_configs``.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+from . import setup_platform, warm_grant
+
+
+def run(reps: int = 4, retries: int = 3) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from ..circuit import library as lib
+    from ..runtime import simulator
+
+    dev = setup_platform()
+    warm_grant()
+
+    configs = [
+        ("ghz20", lib.ghz(20)),
+        ("qft26", lib.qft(26)),
+        ("sycamore26_d8", lib.sycamore_like(26, depth=8, seed=11)),
+        ("qaoa26_p2", lib.qaoa_maxcut(26, p=2)),
+        ("nonstab28", lib.non_stabilizer(28, depth=4, seed=7)),
+    ]
+    rows = []
+    for tag, cd in configs:
+        n = cd["number_of_qubits"]
+        S = jax.ShapeDtypeStruct((1 << n,), jnp.complex64)
+        row = {"config": tag, "n": n, "gates": len(cd["gates"])}
+        try:
+            t0 = time.time()
+            compiled = None
+            last = None
+            for i in range(retries):
+                try:
+                    compiled = simulator.build_window_circuit_fn(
+                        cd, dtype="complex64", donate=False,
+                    ).lower(S).compile()
+                    break
+                except Exception as e:  # transient remote-compile 500s
+                    last = e
+                    time.sleep(6 * (i + 1))
+            if compiled is None:
+                raise last
+            row["compile_s"] = round(time.time() - t0, 1)
+            norm2 = jax.jit(
+                lambda x: jnp.sum(jnp.real(x) ** 2 + jnp.imag(x) ** 2)
+            ).lower(S).compile()
+            psi = jax.jit(
+                lambda n=n: jnp.zeros(1 << n, jnp.complex64).at[0].set(1.0)
+            )()
+            float(jax.device_get(norm2(psi)))
+
+            def once():
+                return float(jax.device_get(norm2(compiled(psi))))
+
+            once()
+            t0 = time.time()
+            norm = [once() for _ in range(reps)][-1]
+            dt = (time.time() - t0) / reps
+            row.update({
+                "steady_s": round(dt, 4),
+                "amp_updates_per_s": round(len(cd["gates"]) * (1 << n) / dt, 1),
+                "norm2": round(norm, 6),
+            })
+        except Exception as e:
+            row["error"] = f"{type(e).__name__}: {str(e)[:120]}"
+        rows.append(row)
+    return {"device": str(dev), "rows": rows}
+
+
+if __name__ == "__main__":
+    print(json.dumps(run(), indent=1))
