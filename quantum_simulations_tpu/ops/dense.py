@@ -475,7 +475,7 @@ def apply_gate(psi: jnp.ndarray, qubits: tuple[int, ...], U, *, lane_bits: int |
     qubits = tuple(qubits)
     if (
         isinstance(U, np.ndarray)
-        and len(qubits) <= 4
+        and len(qubits) <= 12
         and np.allclose(U, np.diag(np.diag(U)), atol=0)
     ):
         return apply_diag_bcast(psi, qubits, U, lane_bits=lane_bits)
@@ -576,7 +576,7 @@ def apply_gate_planar(re, im, qubits: tuple[int, ...], U: np.ndarray,
     U = np.asarray(U)
     m = len(qubits)
 
-    if m <= 4 and np.allclose(U, np.diag(np.diag(U)), atol=0):
+    if m <= 12 and np.allclose(U, np.diag(np.diag(U)), atol=0):
         # psi' = P * psi  ->  re' = Pr*re - Pi*im ; im' = Pi*re + Pr*im.
         Pr, Pi, view_shape = _diag_bcast_planes(re.size, qubits, U, lane,
                                                 np.dtype(re.dtype))
