@@ -33,9 +33,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-_ZERO_TOL = 0.0  # exact structural zeros only (gate matrices are exact)
-
-
 def _np_dtype(dtype) -> np.dtype:
     return np.dtype(jnp.dtype(dtype).name)
 
@@ -85,18 +82,6 @@ def apply_1q(psi: jnp.ndarray, q: int, U: np.ndarray) -> jnp.ndarray:
     out0 = _lincomb((u[0, 0], u[0, 1]), (a, b))
     out1 = _lincomb((u[1, 0], u[1, 1]), (a, b))
     return jnp.stack((out0, out1), axis=1).reshape(size)
-
-
-def apply_1q_diag(psi: jnp.ndarray, q: int, U: np.ndarray) -> jnp.ndarray:
-    """Diagonal 2x2 gate: phase the q=1 plane (and q=0 if non-trivial)."""
-    size = psi.size
-    C = 1 << q
-    R = size >> (q + 1)
-    u = _const_coeffs(U, psi.dtype)
-    x = psi.reshape(R, 2, C)
-    a = x[:, 0, :] if u[0, 0] == 1 else u[0, 0] * x[:, 0, :]
-    b = x[:, 1, :] if u[1, 1] == 1 else u[1, 1] * x[:, 1, :]
-    return jnp.stack((a, b), axis=1).reshape(size)
 
 
 def apply_2q(psi: jnp.ndarray, qa: int, qb: int, U: np.ndarray) -> jnp.ndarray:
