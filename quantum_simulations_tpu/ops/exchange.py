@@ -145,10 +145,52 @@ def apply_nonlocal(
                 mm |= 1 << (qubits[j] - k)
         return mm
 
+    def _single_cell(x: int):
+        """(lout, lin) if offset x's block has exactly one nonzero cell
+        for every device-bit value, else None.
+
+        For control-structured gates (e.g. CNOT with a local control and
+        a device-bit target) the exchanged data then shrinks to the
+        active local plane — half the ICI traffic.
+        """
+        if p != 1:
+            return None
+        cells = set()
+        for a in range(1 << r):
+            ro_base = sum(
+                ((a >> (r - 1 - t)) & 1) * dev_weight[t] for t in range(r)
+            )
+            ci_base = sum(
+                (((a >> (r - 1 - t)) & 1) ^ ((x >> (r - 1 - t)) & 1))
+                * dev_weight[t]
+                for t in range(r)
+            )
+            for lo in range(2):
+                for li in range(2):
+                    if U[ro_base + int(loc_out_offsets[lo]),
+                         ci_base + int(loc_in_offsets[li])] != 0:
+                        cells.add((lo, li))
+        return cells.pop() if len(cells) == 1 else None
+
     acc = None
     for x in offsets:
+        cell = _single_cell(x) if x != 0 else None
         if x == 0:
             data = shard
+        elif cell is not None:
+            lout, lin = cell
+            q = loc_qubits[0]
+            C = 1 << q
+            R = shard.size >> (q + 1)
+            half = shard.reshape(R, 2, C)[:, lin, :]
+            recv = lax.ppermute(half, axis_name, _xor_perm(n_dev, mesh_mask(x)))
+            W = block_for(x)
+            contrib_half = W[lout, lin] * recv
+            zero = jnp.zeros_like(contrib_half)
+            pair = (contrib_half, zero) if lout == 0 else (zero, contrib_half)
+            contrib = jnp.stack(pair, axis=1).reshape(shard.size)
+            acc = contrib if acc is None else acc + contrib
+            continue
         else:
             data = lax.ppermute(shard, axis_name, _xor_perm(n_dev, mesh_mask(x)))
         W = block_for(x)
