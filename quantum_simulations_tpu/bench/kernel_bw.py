@@ -1,64 +1,94 @@
 """Per-op-class bandwidth benchmark vs the HBM roofline.
 
 For each op class (1q plane update at several qubit positions, 2q
-plane, fused 128-panel matmul, bit rotation) measures effective GB/s
-(bytes moved = read + write of the full state) and reports utilisation
-against a nominal HBM peak.  The matmul-vs-IO economics the reference
-measures on disk (``wenbo_engine/bench/matmul_vs_io.py``) show up here
-as "how many fused gates does one panel pass amortise".
+plane, fused 128-panel matmul, bit rotation, planar Pallas panel)
+measures effective GB/s with the op repeated ``iters`` times INSIDE
+one program (the tunnel's ~44 ms dispatch+fetch latency would swamp a
+single pass; ``lax.fori_loop`` can be unsupported, so the loop is
+unrolled).  The matmul-vs-IO economics the reference measures on disk
+(``wenbo_engine/bench/matmul_vs_io.py``) show up here as "how many
+fused gates one panel pass amortises".
 """
 from __future__ import annotations
 
-import functools
 import json
 
-import numpy as np
-
-from . import force, setup_platform, timeit, warm_grant
+from . import setup_platform, timeit, warm_grant
 
 HBM_PEAK_GBS = {"v5e": 819.0, "v5p": 2765.0}
+FETCH_LATENCY_S = 0.044
 
 
-def run(n: int = 26, dtype="complex64", reps: int = 5) -> dict:
+def run(n: int = 26, dtype="complex64", reps: int = 3, iters: int = 16) -> dict:
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from ..circuit import gates as G
     from ..ops import dense
+    from ..ops.pallas_kernels import panel_apply_planar
 
     dev = setup_platform()
     warm_grant()
     nbytes = (1 << n) * jnp.dtype(dtype).itemsize
-    S = jax.ShapeDtypeStruct((1 << n,), jnp.dtype(dtype))
 
-    mk = jax.jit(lambda: dense.zero_state(n, dtype))
-    psi = mk()
-    force(psi)
-
-    cases = {}
     H = G.H()
-    for q in (0, 8, n // 2, n - 1):
-        cases[f"1q_plane_q{q}"] = functools.partial(dense.apply_gate, qubits=(q,), U=H)
-    cases["2q_plane_hi"] = functools.partial(
-        dense.apply_gate, qubits=(n - 2, 9), U=G.CNOT())
-    cases["2q_mixed_lo_hi"] = functools.partial(
-        dense.apply_gate, qubits=(2, n - 2), U=G.CNOT())
     W = dense.compose_low_panel(
         [((q,), H) for q in range(7)] + [((0, 1), G.CNOT())], 7)
-    cases["panel128_8gates"] = functools.partial(dense.apply_low_panel, W=W)
-    cases["rotate7"] = functools.partial(dense.rotate_bits_right, r=7)
+
+    cases = {
+        "1q_plane_q8": lambda v: dense.apply_gate(v, (8,), H),
+        f"1q_plane_q{n-1}": lambda v: dense.apply_gate(v, (n - 1,), H),
+        "2q_plane_hi": lambda v: dense.apply_gate(v, (n - 2, 9), G.CNOT()),
+        "2q_mixed_lo_hi": lambda v: dense.apply_gate(v, (2, n - 2), G.CNOT()),
+        "panel128_8gates": lambda v: dense.apply_low_panel(v, W),
+        "rotate7": lambda v: dense.rotate_bits_right(v, 7),
+        "diag_cz_crossing": lambda v: dense.apply_gate(
+            v, (3, n - 3), G.CZ()),
+    }
+
+    def bench_complex(op):
+        def prog():
+            psi = jnp.zeros(1 << n, dtype=jnp.dtype(dtype)).at[0].set(1.0)
+            for _ in range(iters):
+                psi = op(psi)
+            return jnp.sum(jnp.real(psi) ** 2 + jnp.imag(psi) ** 2)
+        c = jax.jit(prog).lower().compile()
+        return timeit(lambda: float(jax.device_get(c())), reps)
 
     results = {}
     for name, op in cases.items():
-        fn = jax.jit(lambda x, op=op: op(x)).lower(S).compile()
-        dt = timeit(lambda: force(fn(psi)), reps)
-        gbs = 2 * nbytes / dt / 1e9
-        results[name] = {"s": round(dt, 5), "GBs": round(gbs, 3)}
+        dt = bench_complex(op)
+        per = max((dt - FETCH_LATENCY_S) / iters, 1e-9)
+        results[name] = {
+            "s_per_pass": round(per, 5),
+            "GBs": round(2 * nbytes / per / 1e9, 1),
+        }
+
+    # Planar Pallas lane panel (two f32 planes).
+    def prog_pl():
+        re = jnp.full(1 << n, 0.5, jnp.float32)
+        im = jnp.full(1 << n, 0.5, jnp.float32)
+        for _ in range(iters):
+            re, im = panel_apply_planar(re, im, W)
+        return jnp.sum(re * 1e-9) + jnp.sum(im * 1e-9)
+    try:
+        c = jax.jit(prog_pl).lower().compile()
+        dt = timeit(lambda: float(jax.device_get(c())), reps)
+        per = max((dt - FETCH_LATENCY_S) / iters, 1e-9)
+        results["pallas_lane_panel"] = {
+            "s_per_pass": round(per, 5),
+            "GBs": round(2 * nbytes / per / 1e9, 1),
+        }
+    except Exception as e:
+        results["pallas_lane_panel"] = {"error": str(e)[:120]}
 
     peak = HBM_PEAK_GBS.get("v5e")
     for v in results.values():
-        v["pct_roofline_v5e"] = round(100 * v["GBs"] / peak, 1)
-    return {"n": n, "dtype": str(dtype), "device": str(dev), "ops": results}
+        if "GBs" in v:
+            v["pct_roofline_v5e"] = round(100 * v["GBs"] / peak, 1)
+    return {"n": n, "dtype": str(dtype), "iters": iters,
+            "device": str(dev), "ops": results}
 
 
 if __name__ == "__main__":
