@@ -51,7 +51,9 @@ def run(n: int = 26, dtype="complex64", reps: int = 3, iters: int = 16) -> dict:
         def prog():
             psi = jnp.zeros(1 << n, dtype=jnp.dtype(dtype)).at[0].set(1.0)
             for _ in range(iters):
-                psi = op(psi)
+                # The barrier stops XLA fusing/folding the repeated op
+                # across iterations (16 fused H's measured >roofline).
+                psi = jax.lax.optimization_barrier(op(psi))
             return jnp.sum(jnp.real(psi) ** 2 + jnp.imag(psi) ** 2)
         c = jax.jit(prog).lower().compile()
         return timeit(lambda: float(jax.device_get(c())), reps)
@@ -70,7 +72,8 @@ def run(n: int = 26, dtype="complex64", reps: int = 3, iters: int = 16) -> dict:
         re = jnp.full(1 << n, 0.5, jnp.float32)
         im = jnp.full(1 << n, 0.5, jnp.float32)
         for _ in range(iters):
-            re, im = panel_apply_planar(re, im, W)
+            re, im = jax.lax.optimization_barrier(
+                panel_apply_planar(re, im, W))
         return jnp.sum(re * 1e-9) + jnp.sum(im * 1e-9)
     try:
         c = jax.jit(prog_pl).lower().compile()
