@@ -304,6 +304,16 @@ def compile_window_schedule(
                     continue
                 U = G.gate_matrix(g["gate"], g["params"])
                 s = _fit_start(g["qubits"], n, w)
+                # Diagonal gates ride along in a panel their window
+                # already has (free in the matmul); otherwise they take
+                # the broadcast-multiply path (460-580 GB/s, merged into
+                # combined-phase ops) rather than spawning a new panel.
+                if (
+                    s is not None
+                    and G.is_diagonal(U)
+                    and s not in buckets
+                ):
+                    s = None
                 key = "generic" if s is None else ("panel", s)
                 ok = True
                 for q in g["qubits"]:
@@ -328,23 +338,16 @@ def compile_window_schedule(
                 mark(i)
                 progress = changed = True
             pending = still
-        converted: list[PhysGateOp] = []
         for s in sorted(buckets):
+            # Full-width panels always (8.3 ms/pass measured): narrow
+            # panels had pathological kernel grids and converting small
+            # buckets to the elementwise path cost 20-31 ms per gate
+            # (XLA reverse ops defeat fusion).
             run = buckets[s]
-            if len(run) < 3 and s != 0:
-                # A 1-2 gate panel does not amortise a matmul pass (and
-                # narrow-width panels have pathological grids: dim-8
-                # blocks ran 4x slower end-to-end) — the plane/broadcast
-                # paths handle these in cheap fusable passes.
-                for qs, U in run:
-                    converted.append(PhysGateOp(
-                        tuple(q + s for q in qs), U, "ex-panel"))
-                continue
             w_eff = min(w, n - s)
             out.append(WindowPanelOp(
                 s, compose_low_panel(run, w_eff), len(run),
                 run=tuple(run)))
-        generics = converted + generics
         out.extend(generics)
         if not progress and pending:
             raise AssertionError("window scheduler stalled")  # unreachable
