@@ -538,6 +538,7 @@ def apply_gate(psi: jnp.ndarray, qubits: tuple[int, ...], U, *, lane_bits: int |
     if (
         isinstance(U, np.ndarray)
         and len(qubits) == 2
+        and min(qubits) >= lane  # a low qubit would make a tiny-dim view
         and U.shape == (4, 4)
         and np.array_equal(np.asarray(U, dtype=np.complex128), _SWAP4)
     ):
@@ -645,7 +646,7 @@ def apply_gate_planar(re, im, qubits: tuple[int, ...], U: np.ndarray,
     U = np.asarray(U)
     m = len(qubits)
 
-    if m == 2 and U.shape == (4, 4) and np.array_equal(
+    if m == 2 and min(qubits) >= lane and U.shape == (4, 4) and np.array_equal(
         np.asarray(U, dtype=np.complex128), _SWAP4
     ):
         shape, a1, a2 = _swap_axes_view(re.size, qubits[0], qubits[1])
