@@ -94,6 +94,10 @@ def sample(circuit_dict: dict, shots: int, *, seed: int = 0,
     cfg = config or SimulatorConfig()
     psi = simulate(circuit_dict, cfg)
     n = validate_circuit_dict(circuit_dict)["number_of_qubits"]
+    if cfg.sparse:
+        # SparseState samples over its nnz support directly — no dense
+        # 2^n expansion (works at any n, e.g. 1000-qubit GHZ).
+        return psi.sample_bits(shots, n, seed=seed)
     import jax.numpy as jnp
 
     return np.asarray(sampling.sample_bits(

@@ -185,6 +185,14 @@ def qasm_to_dict(src: str) -> dict:
             combos = [[q] for q in resolved[0]]
         else:
             sizes = [len(r) for r in resolved]
+            # OpenQASM requires all broadcast (multi-element) operands
+            # to have equal length; scalars broadcast against them.
+            multi = {s for s in sizes if s > 1}
+            if len(multi) > 1:
+                raise QasmError(
+                    f"{name}: mismatched register widths {sorted(multi)} "
+                    "in broadcast statement"
+                )
             width = max(sizes)
             combos = []
             for i in range(width):

@@ -25,16 +25,21 @@ def normalize(psi: jax.Array) -> jax.Array:
     return psi / norm(psi).astype(psi.dtype)
 
 
-def _bit_parity(n_amps: int, mask: int) -> jnp.ndarray:
-    idx = jnp.arange(n_amps, dtype=jnp.uint32 if n_amps <= (1 << 31) else jnp.uint64)
-    bits = idx & jnp.asarray(mask, dtype=idx.dtype)
-    # popcount parity via xor-fold
+def _parity_fold(bits: jnp.ndarray) -> jnp.ndarray:
+    """Popcount parity of each element via xor-fold (uint32 or uint64)."""
+    if bits.dtype == jnp.uint64:
+        bits = bits ^ (bits >> 32)
     bits = bits ^ (bits >> 16)
     bits = bits ^ (bits >> 8)
     bits = bits ^ (bits >> 4)
     bits = bits ^ (bits >> 2)
     bits = bits ^ (bits >> 1)
     return (bits & 1).astype(jnp.int32)
+
+
+def _bit_parity(n_amps: int, mask: int) -> jnp.ndarray:
+    idx = jnp.arange(n_amps, dtype=jnp.uint32 if n_amps <= (1 << 31) else jnp.uint64)
+    return _parity_fold(idx & jnp.asarray(mask, dtype=idx.dtype))
 
 
 def expectation_z(psi: jax.Array, qubits: list[int]) -> jax.Array:

@@ -81,8 +81,11 @@ def build_circuit_fns(
     cd = validate_circuit_dict(circuit_dict)
     n = cd["number_of_qubits"]
     k = shard_width(mesh, n)
+    # Stable mesh identity (device ids + axis names): id(mesh) can be
+    # reused by a different mesh after garbage collection.
+    mesh_key = (tuple(d.id for d in mesh.devices.flat), mesh.axis_names)
     key = (
-        circuit_hash(cd), id(mesh), use_fusion, panel_width, per_step, donate,
+        circuit_hash(cd), mesh_key, use_fusion, panel_width, per_step, donate,
     )
     hit = _CACHE.get(key)
     if hit is not None:

@@ -60,6 +60,30 @@ class SparseState:
     def top_amplitudes(self, k: int = 16):
         return sorted(self._items.items(), key=lambda kv: -abs(kv[1]))[:k]
 
+    def sample(self, shots: int, *, seed: int = 0) -> list:
+        """Draw bitstring samples (as Python ints) from |amp|^2.
+
+        Samples directly over the nnz support — no dense expansion, so
+        this works at any n (e.g. 1000-qubit GHZ).
+        """
+        indices = list(self._items.keys())
+        probs = np.array([abs(a) ** 2 for a in self._items.values()])
+        probs = probs / probs.sum()
+        rng = np.random.default_rng(seed)
+        draws = rng.choice(len(indices), size=shots, p=probs)
+        return [indices[i] for i in draws]
+
+    def sample_bits(self, shots: int, n: int | None = None, *, seed: int = 0
+                    ) -> np.ndarray:
+        """Samples as a (shots, n) int8 bit matrix (little-endian)."""
+        n = self.n if n is None else n
+        idxs = self.sample(shots, seed=seed)
+        out = np.empty((shots, n), dtype=np.int8)
+        for r, idx in enumerate(idxs):
+            for q in range(n):
+                out[r, q] = (idx >> q) & 1
+        return out
+
 
 # ---------------------------------------------------------------------------
 # numpy COO tier (n <= 62)

@@ -138,3 +138,13 @@ def test_qiskit_overlap():
     for cd in (lib.bell(), lib.qft(5), lib.random_circuit(5, 30, seed=1)):
         psi = oracle.simulate(cd)
         assert overlap_with_qiskit(cd, psi) > 1 - 1e-9
+
+
+def test_broadcast_width_mismatch_raises():
+    src = """
+    OPENQASM 2.0; include "qelib1.inc";
+    qreg a[2]; qreg b[3];
+    cx a, b;
+    """
+    with pytest.raises(QasmError, match="register widths"):
+        qasm_to_dict(src)

@@ -146,3 +146,46 @@ def test_fidelity_phase_invariant():
     psi = _as_jnp(lib.qft(4))
     rotated = psi * np.exp(0.7j)
     assert abs(float(sampling.fidelity(psi, rotated)) - 1.0) < 1e-10
+
+
+def test_parity_fold_uint64_high_bits():
+    # Regression: bits above 31 must fold into the parity (uint64 path
+    # previously started the xor-fold at >>16 and lost them).
+    vals = jnp.asarray(
+        np.array([1 << 40, (1 << 40) | 1, (1 << 33) | (1 << 2), 0],
+                 dtype=np.uint64))
+    got = np.asarray(sampling._parity_fold(vals))
+    np.testing.assert_array_equal(got, [1, 0, 0, 0])
+
+
+def test_expectation_z_matches_dense_formula():
+    psi = _as_jnp(lib.random_circuit(5, 30, seed=3))
+    p = np.abs(np.asarray(psi)) ** 2
+    idx = np.arange(32)
+    for qs in ([0], [4], [1, 3], [0, 2, 4]):
+        mask = sum(1 << q for q in qs)
+        signs = 1.0 - 2.0 * (np.bitwise_count(idx & mask) % 2)
+        want = float(np.sum(p * signs))
+        got = float(sampling.expectation_z(psi, list(qs)))
+        assert abs(got - want) < 1e-8, (qs, got, want)
+
+
+def test_sparse_state_sampling():
+    st = simulate_sparse(lib.ghz(40))
+    bits = st.sample_bits(200, seed=5)
+    assert bits.shape == (200, 40)
+    # GHZ: each shot is all-zeros or all-ones.
+    rowsum = bits.sum(axis=1)
+    assert set(np.unique(rowsum)) <= {0, 40}
+    assert 0 < rowsum.sum() < 200 * 40  # both outcomes appear
+
+
+def test_api_sample_sparse_mode():
+    from quantum_simulations_tpu import api
+    from quantum_simulations_tpu.utils.config import SimulatorConfig
+
+    bits = api.sample(lib.ghz(30), shots=64,
+                      config=SimulatorConfig(sparse=True))
+    assert bits.shape == (64, 30)
+    rowsum = bits.sum(axis=1)
+    assert set(np.unique(rowsum)) <= {0, 30}
