@@ -25,6 +25,7 @@ from ..circuit.fusion import Step, compile_steps
 from ..ops import exchange
 from ..runtime.simulator import apply_local_ops
 from .mesh import AXIS, shard_width
+from .reshard import plan_boundary_reshard, swap_device_bits
 
 
 def _steps_body(steps: list[Step], k: int, axis_name: str):
@@ -32,7 +33,15 @@ def _steps_body(steps: list[Step], k: int, axis_name: str):
         shard = shard.reshape(-1)
         for step in steps:
             shard = apply_local_ops(shard, step.local_ops)
-            for op in step.nonlocal_ops:
+            # A leading run of disjoint boundary SWAPs (staging's stage
+            # transition) collapses into ONE all_to_all reshard instead
+            # of one full-shard ppermute per SWAP.
+            pairs, rest = plan_boundary_reshard(step.nonlocal_ops, k)
+            if pairs:
+                # One collective of 2^k*(1-2^-r) amplitudes replaces r
+                # full-shard ppermutes (r=1: half-volume, still a win).
+                shard = swap_device_bits(shard, axis_name, k, pairs)
+            for op in rest:
                 shard = exchange.apply_nonlocal(
                     shard, axis_name, k, op.qubits, op.U
                 )
