@@ -74,6 +74,7 @@ def simulate(circuit_dict: dict, config: SimulatorConfig | None = None,
         return E.collect_state(E.simulate_sharded(
             mesh, cd, dtype=cfg.dtype, use_fusion=cfg.use_fusion,
             panel_width=cfg.panel_width,
+            mode="window" if cfg.mode == "window" else "fused",
         ))
 
     from .runtime import simulator

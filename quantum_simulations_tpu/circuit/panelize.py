@@ -251,29 +251,43 @@ def compile_window_schedule(
     Returns a list of WindowPanelOp | PhysGateOp.
     """
     cd = validate_circuit_dict(circuit_dict)
-    n = cd["number_of_qubits"]
-    gates = cd["gates"]
+    gate_list = [
+        (tuple(g["qubits"]), G.gate_matrix(g["gate"], g["params"]), g["gate"])
+        for g in cd["gates"]
+    ]
+    return compile_window_ops(gate_list, cd["number_of_qubits"], window=window)
+
+
+def compile_window_ops(
+    gate_list: list, n: int, *, window: int = PANEL_W,
+) -> list:
+    """Window-schedule a list of ``(qubits, U, name)`` ops directly.
+
+    Same algorithm as :func:`compile_window_schedule` but over
+    already-bound unitaries — the sharded executor uses this to run a
+    step's *local* ops through the planar Pallas panels inside
+    ``shard_map`` (n = the shard width k there).
+    """
     w = min(window, n)
     if n <= w:
-        ops_ = [(tuple(g["qubits"]), G.gate_matrix(g["gate"], g["params"]))
-                for g in gates]
         from ..ops.dense import compose_low_panel
+        ops_ = [(qs, U) for qs, U, _ in gate_list]
         if not ops_:
             return []
         return [WindowPanelOp(0, compose_low_panel(ops_, w), len(ops_))]
 
     per_qubit: dict[int, list[int]] = {}
-    for i, g in enumerate(gates):
-        for q in g["qubits"]:
+    for i, (qs, _, _) in enumerate(gate_list):
+        for q in qs:
             per_qubit.setdefault(q, []).append(i)
     head = {q: 0 for q in per_qubit}
-    pending = list(range(len(gates)))
+    pending = list(range(len(gate_list)))
 
     def is_ready(i: int) -> bool:
-        return all(per_qubit[q][head[q]] == i for q in gates[i]["qubits"])
+        return all(per_qubit[q][head[q]] == i for q in gate_list[i][0])
 
     def mark(i: int) -> None:
-        for q in gates[i]["qubits"]:
+        for q in gate_list[i][0]:
             head[q] += 1
 
     from ..ops.dense import compose_low_panel
@@ -297,13 +311,12 @@ def compile_window_schedule(
             changed = False
             still: list[int] = []
             for i in pending:
-                g = gates[i]
-                if set(g["qubits"]) & blocked or not is_ready(i):
+                qubits_i, U, gname = gate_list[i]
+                if set(qubits_i) & blocked or not is_ready(i):
                     still.append(i)
-                    blocked.update(g["qubits"])
+                    blocked.update(qubits_i)
                     continue
-                U = G.gate_matrix(g["gate"], g["params"])
-                s = _fit_start(g["qubits"], n, w)
+                s = _fit_start(qubits_i, n, w)
                 # Diagonal gates ride along in a panel their window
                 # already has (free in the matmul); otherwise they take
                 # the broadcast-multiply path (460-580 GB/s, merged into
@@ -316,7 +329,7 @@ def compile_window_schedule(
                     s = None
                 key = "generic" if s is None else ("panel", s)
                 ok = True
-                for q in g["qubits"]:
+                for q in qubits_i:
                     own = owner.get(q)
                     if own is None or own == key:
                         continue
@@ -326,14 +339,14 @@ def compile_window_schedule(
                     break
                 if not ok:
                     still.append(i)
-                    blocked.update(g["qubits"])
+                    blocked.update(qubits_i)
                     continue
                 if s is None:
-                    generics.append(PhysGateOp(tuple(g["qubits"]), U, g["gate"]))
+                    generics.append(PhysGateOp(tuple(qubits_i), U, gname))
                 else:
-                    rel = tuple(q - s for q in g["qubits"])
+                    rel = tuple(q - s for q in qubits_i)
                     buckets.setdefault(s, []).append((rel, U))
-                for q in g["qubits"]:
+                for q in qubits_i:
                     owner[q] = key
                 mark(i)
                 progress = changed = True

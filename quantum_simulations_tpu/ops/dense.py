@@ -81,8 +81,8 @@ def apply_1q(psi: jnp.ndarray, q: int, U: np.ndarray) -> jnp.ndarray:
     size = psi.size
     C = 1 << q
     R = size >> (q + 1)
-    u = np.asarray(U, dtype=np.complex128)
     if isinstance(U, np.ndarray):
+        u = np.asarray(U, dtype=np.complex128)
         x = psi.reshape(R, 2, C)
         npdt = _np_dtype(psi.dtype)
         D = np.array([u[0, 0], u[1, 1]], dtype=npdt).reshape(1, 2, 1)

@@ -145,17 +145,20 @@ def apply_nonlocal(
                 mm |= 1 << (qubits[j] - k)
         return mm
 
-    def _single_cell(x: int):
-        """(lout, lin) if offset x's block has exactly one nonzero cell
-        for every device-bit value, else None.
+    def _single_cell_tables(x: int):
+        """Per-device-value single-cell structure of offset x's block.
 
-        For control-structured gates (e.g. CNOT with a local control and
-        a device-bit target) the exchanged data then shrinks to the
-        active local plane — half the ICI traffic.
+        Returns ``(lo_table, li_table)`` (np arrays over the 2^r
+        device-bit values) if for EVERY device value the block has
+        exactly one nonzero cell — the cell may differ per device
+        (e.g. SWAP across the boundary: device a reads plane 1-a).
+        The exchanged data then shrinks to the active local plane —
+        half the ICI traffic — with the plane index a traced lookup.
         """
         if p != 1:
             return None
-        cells = set()
+        lo_t = np.zeros(1 << r, dtype=np.int32)
+        li_t = np.zeros(1 << r, dtype=np.int32)
         for a in range(1 << r):
             ro_base = sum(
                 ((a >> (r - 1 - t)) & 1) * dev_weight[t] for t in range(r)
@@ -165,30 +168,45 @@ def apply_nonlocal(
                 * dev_weight[t]
                 for t in range(r)
             )
-            for lo in range(2):
-                for li in range(2):
-                    if U[ro_base + int(loc_out_offsets[lo]),
-                         ci_base + int(loc_in_offsets[li])] != 0:
-                        cells.add((lo, li))
-        return cells.pop() if len(cells) == 1 else None
+            cells = [
+                (lo, li)
+                for lo in range(2)
+                for li in range(2)
+                if U[ro_base + int(loc_out_offsets[lo]),
+                     ci_base + int(loc_in_offsets[li])] != 0
+            ]
+            if len(cells) != 1:
+                return None
+            lo_t[a], li_t[a] = cells[0]
+        return lo_t, li_t
+
+    # Traced device value in the same bit order the tables use.
+    if r:
+        a_scalar = sum(
+            (mv * (1 << (r - 1 - t)) for t, mv in enumerate(myvals)),
+            start=jnp.int32(0),
+        )
 
     acc = None
     for x in offsets:
-        cell = _single_cell(x) if x != 0 else None
+        tables = _single_cell_tables(x) if x != 0 else None
         if x == 0:
             data = shard
-        elif cell is not None:
-            lout, lin = cell
+        elif tables is not None:
+            lo_t, li_t = tables
+            lout = jnp.take(jnp.asarray(lo_t), a_scalar)
+            lin = jnp.take(jnp.asarray(li_t), a_scalar)
             q = loc_qubits[0]
             C = 1 << q
             R = shard.size >> (q + 1)
-            half = shard.reshape(R, 2, C)[:, lin, :]
+            planes = shard.reshape(R, 2, C)
+            half = lax.dynamic_slice_in_dim(planes, lin, 1, axis=1)
             recv = lax.ppermute(half, axis_name, _xor_perm(n_dev, mesh_mask(x)))
             W = block_for(x)
             contrib_half = W[lout, lin] * recv
-            zero = jnp.zeros_like(contrib_half)
-            pair = (contrib_half, zero) if lout == 0 else (zero, contrib_half)
-            contrib = jnp.stack(pair, axis=1).reshape(shard.size)
+            contrib = lax.dynamic_update_slice_in_dim(
+                jnp.zeros_like(planes), contrib_half, lout, axis=1,
+            ).reshape(shard.size)
             acc = contrib if acc is None else acc + contrib
             continue
         else:
@@ -211,3 +229,57 @@ def exchange_cost(U: np.ndarray, qubits: tuple[int, ...], k: int) -> int:
     if all(q < k for q in qubits):
         return 0
     return sum(1 for x in nonzero_offsets(np.asarray(U), tuple(qubits), k) if x != 0)
+
+
+def offset_traffic(U: np.ndarray, qubits: tuple[int, ...], k: int) -> list[tuple[int, float]]:
+    """Per-nonzero-offset shipped volume, as a fraction of the shard.
+
+    Mirrors :func:`apply_nonlocal`'s dispatch: an offset whose block
+    has a single nonzero cell per device value ships only the active
+    local plane (fraction 0.5); others ship the full shard (1.0).
+    """
+    U = np.asarray(U, dtype=np.complex128)
+    m = len(qubits)
+    dev_pos = [j for j, q in enumerate(qubits) if q >= k]
+    loc_pos = [j for j, q in enumerate(qubits) if q < k]
+    r, p = len(dev_pos), len(loc_pos)
+    if r == 0:
+        return []
+    dev_weight = [1 << (m - 1 - j) for j in dev_pos]
+    loc_off = [
+        sum(((lo >> (p - 1 - t)) & 1) << (m - 1 - j)
+            for t, j in enumerate(loc_pos))
+        for lo in range(1 << p)
+    ]
+
+    out = []
+    for x in nonzero_offsets(U, tuple(qubits), k):
+        if x == 0:
+            continue
+        frac = 1.0
+        if p == 1:
+            single = True
+            for a in range(1 << r):
+                ro = sum(((a >> (r - 1 - t)) & 1) * dev_weight[t]
+                         for t in range(r))
+                ci = sum((((a >> (r - 1 - t)) & 1) ^ ((x >> (r - 1 - t)) & 1))
+                         * dev_weight[t] for t in range(r))
+                cells = sum(
+                    1 for lo in range(2) for li in range(2)
+                    if U[ro + loc_off[lo], ci + loc_off[li]] != 0
+                )
+                if cells != 1:
+                    single = False
+                    break
+            if single:
+                frac = 0.5
+        out.append((x, frac))
+    return out
+
+
+def exchange_bytes(U: np.ndarray, qubits: tuple[int, ...], k: int,
+                   itemsize: int = 8) -> int:
+    """ICI bytes shipped per device for this gate at shard width 2^k."""
+    shard_bytes = (1 << k) * itemsize
+    return int(sum(frac * shard_bytes
+                   for _, frac in offset_traffic(U, qubits, k)))

@@ -177,3 +177,81 @@ def test_mesh_size_consistency():
     results = [_run(M.make_mesh(nd), cd) for nd in (1, 2, 4, 8)]
     for r in results[1:]:
         np.testing.assert_allclose(r, results[0], atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Bytes-level traffic accounting (half-volume single-cell dispatch)
+# ---------------------------------------------------------------------------
+
+def test_traffic_swap_half_volume():
+    # Matrix-form boundary SWAP: two offsets survive, x=0 is local, the
+    # exchange offset ships only the active plane => half a shard.
+    k = 3
+    t = exchange.offset_traffic(G.SWAP(), (1, 5), k)
+    assert len(t) == 1 and t[0][1] == 0.5
+    assert exchange.exchange_bytes(G.SWAP(), (1, 5), k) == (1 << k) * 8 // 2
+
+
+def test_traffic_cnot_target_on_device_bit():
+    # CNOT control local / target on a device bit: one half-volume
+    # exchange (only the control=1 plane moves).
+    k = 3
+    t = exchange.offset_traffic(G.CNOT(), (1, 5), k)
+    assert t == [(1, 0.5)]
+
+
+def test_traffic_generic_2q_full_volume():
+    # Generic 2q with one device bit: dense 4x4 couples both planes.
+    k = 3
+    U = oracle_random_unitary(4, seed=0)
+    t = exchange.offset_traffic(U, (1, 5), k)
+    assert [frac for _, frac in t] == [1.0]
+
+
+def test_traffic_1q_butterfly_full_shard():
+    k = 3
+    t = exchange.offset_traffic(G.H(), (5,), k)
+    assert t == [(1, 1.0)]  # p=0: whole shard, one round
+
+
+def oracle_random_unitary(dim, seed):
+    rng = np.random.default_rng(seed)
+    a = rng.normal(size=(dim, dim)) + 1j * rng.normal(size=(dim, dim))
+    q, _ = np.linalg.qr(a)
+    return q
+
+
+# ---------------------------------------------------------------------------
+# Sharded window mode: planar Pallas panels inside shard_map
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("tag,cd_fn", [
+    ("ghz12", lambda: lib.ghz(12)),
+    ("qft10", lambda: lib.qft(10)),
+    ("random11", lambda: lib.random_circuit(11, 60, seed=4)),
+    ("sycamore10", lambda: lib.sycamore_like(10, depth=4, seed=1)),
+])
+def test_window_mode_sharded_vs_oracle(mesh8, tag, cd_fn):
+    cd = cd_fn()
+    got = E.collect_state(E.simulate_sharded(
+        mesh8, cd, dtype="complex128", mode="window"))
+    np.testing.assert_allclose(got, oracle.simulate(cd), atol=1e-10)
+
+
+def test_window_mode_mesh2(mesh2):
+    cd = lib.qft(9)
+    got = E.collect_state(E.simulate_sharded(
+        mesh2, cd, dtype="complex128", mode="window"))
+    np.testing.assert_allclose(got, oracle.simulate(cd), atol=1e-10)
+
+
+def test_window_mode_staged(mesh8):
+    from quantum_simulations_tpu.circuit.staging import (
+        permute_state, stage_circuit,
+    )
+    cd = lib.random_circuit(10, 80, seed=9)
+    staged, log2phys, _ = stage_circuit(cd, k=7, method="heuristic")
+    got = E.collect_state(E.simulate_sharded(
+        mesh8, staged, dtype="complex128", mode="window"))
+    got = permute_state(got, log2phys)
+    np.testing.assert_allclose(got, oracle.simulate(cd), atol=1e-10)
