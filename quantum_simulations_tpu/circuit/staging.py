@@ -160,6 +160,13 @@ def stage_circuit(
             import pulp  # noqa: F401
             return _stage_ilp(cd, k, window=window, gamma=gamma)
         except ImportError:
+            # No solver in the image: exact pure-python branch-and-bound
+            # over frontier states (same objective, same output shape).
+            sets = _stage_bb(cd, k)
+            if sets is not None:
+                out = _sets_to_schedule(cd, k, sets)
+                out[2]["method"] = "ilp-bb"
+                return out
             method = "heuristic"
     if method not in ("heuristic", "greedy"):
         raise ValueError(f"unknown staging method {method!r}")
@@ -309,10 +316,212 @@ def _stage_ilp(cd, k, *, window, gamma):
     if best_sets is None:
         return stage_circuit(cd, k, method="heuristic",
                              window=window, gamma=gamma)
-    # Realise the ILP stage sets with the heuristic emitter.
-    out = stage_circuit(cd, k, method="heuristic", window=window, gamma=gamma)
+    out = _sets_to_schedule(cd, k, best_sets)
     out[2]["method"] = "ilp"
     return out
+
+
+# ---------------------------------------------------------------------------
+# Stage-set realisation + exact search (no-solver path)
+# ---------------------------------------------------------------------------
+
+def _sets_to_schedule(cd: dict, k: int, stage_sets: list[list[int]]):
+    """Realise explicit per-stage local-qubit sets as a physical circuit.
+
+    The counterpart of the reference's ``_local_sets_to_steps``
+    (``wenbo_engine/circuit/staging.py:447-519``): per stage, SWAP the
+    set's qubits local, then execute every DAG-ready gate whose
+    non-insular qubits are local.  Trailing gates the sets failed to
+    cover (possible with truncated searches) are finished by extra
+    heuristic stages so the schedule is always complete.
+    """
+    cd = validate_circuit_dict(cd)
+    n = cd["number_of_qubits"]
+    gates = cd["gates"]
+    qm = QubitMap(n)
+    per_qubit = _dag_ready_sets(gates)
+    next_in_queue = {q: 0 for q in per_qubit}
+    out_gates: list[dict] = []
+    n_swaps = 0
+    pending = list(range(len(gates)))
+
+    def is_ready(i: int) -> bool:
+        return all(
+            per_qubit[q][next_in_queue[q]] == i for q in gates[i]["qubits"]
+        )
+
+    def executable(i: int) -> bool:
+        return all(qm.phys(q) < k for q in non_insular_qubits(gates[i]))
+
+    def emit(i: int) -> None:
+        g = gates[i]
+        entry = {"qubits": [qm.phys(q) for q in g["qubits"]],
+                 "gate": g["gate"]}
+        if g.get("params"):
+            entry["params"] = g["params"]
+        out_gates.append(entry)
+        for q in g["qubits"]:
+            next_in_queue[q] += 1
+
+    def drain() -> None:
+        nonlocal pending
+        progress = True
+        while progress:
+            progress = False
+            still: list[int] = []
+            blocked: set[int] = set()
+            for i in pending:
+                g = gates[i]
+                if (not (set(g["qubits"]) & blocked)
+                        and is_ready(i) and executable(i)):
+                    emit(i)
+                    progress = True
+                else:
+                    still.append(i)
+                    blocked.update(g["qubits"])
+            pending = still
+
+    n_stages = 0
+    for want in stage_sets:
+        if not pending:
+            break
+        n_stages += 1
+        before = len(out_gates)
+        _emit_swaps(qm, list(want)[:k], k, out_gates)
+        n_swaps += len(out_gates) - before
+        drain()
+
+    # Safety net: finish anything the sets didn't cover.
+    while pending:
+        n_stages += 1
+        first = gates[pending[0]]
+        required = non_insular_qubits(first) or list(first["qubits"])[:1]
+        scores = _score_qubits(gates, pending, LOOKAHEAD_WINDOW,
+                               LOOKAHEAD_GAMMA)
+        chosen = list(dict.fromkeys(required))[:k]
+        for q, _ in sorted(scores.items(), key=lambda kv: -kv[1]):
+            if len(chosen) >= k:
+                break
+            if q not in chosen:
+                chosen.append(q)
+        before = len(out_gates)
+        _emit_swaps(qm, chosen, k, out_gates)
+        n_swaps += len(out_gates) - before
+        drain()
+
+    out_cd = {"number_of_qubits": n, "gates": out_gates}
+    stats = {"stages": n_stages, "swaps": n_swaps, "method": "sets",
+             "gates": len(gates)}
+    return out_cd, list(qm.log2phys), stats
+
+
+def _stage_bb(
+    cd: dict, k: int, *, cand_extra: int = 4, max_states: int = 4096,
+    max_gates: int = 512,
+) -> list[list[int]] | None:
+    """Minimal-stage search by BFS over execution frontiers.
+
+    A frontier is the per-qubit count of executed gates (downward
+    closed under the per-qubit FIFO dependency order).  Each BFS level
+    adds one stage: for every frontier, branch over candidate <=k
+    local-qubit sets drawn from the next pending gates' non-insular
+    demands, executing greedily under each set.  The first level whose
+    expansion completes the circuit is the minimum stage count (over
+    the candidate family).  Returns the stage sets, or None when the
+    instance exceeds the search caps (caller falls back to heuristic).
+    """
+    from itertools import combinations
+
+    n = cd["number_of_qubits"]
+    gates = cd["gates"]
+    if len(gates) > max_gates:
+        return None
+    needs = [non_insular_qubits(g) for g in gates]
+    per_qubit = _dag_ready_sets(gates)
+    qubit_list = sorted(per_qubit)
+    q_index = {q: j for j, q in enumerate(qubit_list)}
+
+    def initial() -> tuple:
+        return tuple(0 for _ in qubit_list)
+
+    def pending_of(front: tuple) -> list[int]:
+        done = set()
+        for j, q in enumerate(qubit_list):
+            done.update(per_qubit[q][: front[j]])
+        return [i for i in range(len(gates)) if i not in done]
+
+    def advance(front: tuple, local: frozenset) -> tuple:
+        heads = list(front)
+
+        def ready(i: int) -> bool:
+            return all(
+                per_qubit[q][heads[q_index[q]]] == i
+                for q in gates[i]["qubits"]
+            )
+
+        done = set()
+        for j, q in enumerate(qubit_list):
+            done.update(per_qubit[q][: heads[j]])
+        pend = [i for i in range(len(gates)) if i not in done]
+        progress = True
+        while progress:
+            progress = False
+            still = []
+            for i in pend:
+                if ready(i) and all(q in local for q in needs[i]):
+                    for q in gates[i]["qubits"]:
+                        heads[q_index[q]] += 1
+                    progress = True
+                else:
+                    still.append(i)
+            pend = still
+        return tuple(heads)
+
+    goal = tuple(len(per_qubit[q]) for q in qubit_list)
+
+    def candidates(front: tuple) -> list[frozenset]:
+        pend = pending_of(front)
+        # Useful qubits in demand order over the pending horizon.
+        order: list[int] = []
+        for i in pend:
+            for q in needs[i]:
+                if q not in order:
+                    order.append(q)
+            if len(order) >= k + cand_extra:
+                break
+        if not order:
+            # All remaining gates are fully insular: one stage finishes.
+            return [frozenset()]
+        pool = order[: k + cand_extra]
+        if len(pool) <= k:
+            return [frozenset(pool)]
+        head_req = frozenset(needs[pend[0]]) if pend else frozenset()
+        cands = []
+        for combo in combinations(pool, k):
+            s = frozenset(combo)
+            cands.append(s)
+        # Prefer sets covering the head gate first (cheap ordering).
+        cands.sort(key=lambda s: (not head_req <= s, sorted(s)))
+        return cands[:256]
+
+    frontier = {initial(): []}
+    for _depth in range(len(gates) + 1):
+        nxt: dict[tuple, list] = {}
+        for front, sets in frontier.items():
+            for cand in candidates(front):
+                new = advance(front, cand)
+                if new == front:
+                    continue
+                if new == goal:
+                    return sets + [sorted(cand)]
+                if new not in nxt:
+                    nxt[new] = sets + [sorted(cand)]
+                if len(nxt) > max_states:
+                    return None
+        if not nxt:
+            return None
+        frontier = nxt
+    return None
 
 
 # ---------------------------------------------------------------------------
