@@ -36,6 +36,13 @@ def simulate(circuit_dict: dict, config: SimulatorConfig | None = None,
     cfg = config or SimulatorConfig()
     cd = validate_circuit_dict(circuit_dict)
 
+    if cfg.log_level:
+        import logging
+
+        from .utils.logging import setup_logging
+
+        setup_logging(getattr(logging, cfg.log_level.upper(), logging.INFO))
+
     if cfg.sparse:
         from .sparse.engine import simulate_sparse
 
@@ -67,6 +74,7 @@ def simulate(circuit_dict: dict, config: SimulatorConfig | None = None,
                 use_staging=cfg.use_staging,
                 staging_method=cfg.staging_method,
                 checkpoint_every=cfg.checkpoint_every,
+                event_log=cfg.event_log,
             )
             return runner.collect_state(work_dir)
         from .parallel import executor as E

@@ -17,6 +17,7 @@ gate like the reference's per-step chunk rewrites.
 """
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 from pathlib import Path
@@ -26,16 +27,21 @@ import numpy as np
 from ..circuit.contract import circuit_hash, validate_circuit_dict
 from ..parallel import executor as E
 from ..parallel import mesh as M
+from ..utils import timing
+from ..utils.logging import EventLog, get_logger
 from .wal import WAL, FencingLock, atomic_write_bytes, atomic_write_json
 
 CRASH_ENV = "QST_CRASH_AFTER_STEP"
+
+log = get_logger("runner")
 
 
 def _buf_path(work_dir: Path, name: str) -> Path:
     return work_dir / f"state_{name}.npy"
 
 
-def _save_state(work_dir: Path, name: str, psi) -> None:
+def _save_state(work_dir: Path, name: str, psi) -> str:
+    """Write a state buffer atomically; returns its sha256 hex digest."""
     from ..utils.transfer import fetch_array
 
     host = fetch_array(psi)
@@ -43,7 +49,21 @@ def _save_state(work_dir: Path, name: str, psi) -> None:
 
     bio = io.BytesIO()
     np.save(bio, host, allow_pickle=False)
-    atomic_write_bytes(_buf_path(work_dir, name), bio.getvalue())
+    blob = bio.getvalue()
+    atomic_write_bytes(_buf_path(work_dir, name), blob)
+    return hashlib.sha256(blob).hexdigest()
+
+
+def _verify_buffer(work_dir: Path, name: str, want_sha: str | None) -> None:
+    """Integrity check of a checkpoint buffer before resuming from it."""
+    if not want_sha:
+        return
+    got = hashlib.sha256(_buf_path(work_dir, name).read_bytes()).hexdigest()
+    if got != want_sha:
+        raise RuntimeError(
+            f"checkpoint buffer {name!r} corrupt: sha256 {got[:12]}... != "
+            f"recorded {want_sha[:12]}..."
+        )
 
 
 def _load_state(work_dir: Path, name: str) -> np.ndarray:
@@ -64,6 +84,7 @@ def run(
     staging_method: str = "auto",
     checkpoint_every: int = 1,
     resume: bool = True,
+    event_log: str | None = None,
 ) -> Path:
     """Run a circuit with durability; returns the work dir.
 
@@ -110,7 +131,7 @@ def run(
     try:
         return _run_inner(
             cd, work_dir, mesh, dtype, use_wal, use_fusion, panel_width,
-            checkpoint_every, resume,
+            checkpoint_every, resume, event_log,
         )
     finally:
         if lock:
@@ -118,12 +139,33 @@ def run(
 
 
 def _run_inner(cd, work_dir, mesh, dtype, use_wal, use_fusion, panel_width,
-               checkpoint_every, resume):
-    steps, fns = E.build_circuit_fns(
-        mesh, cd, use_fusion=use_fusion, panel_width=panel_width,
-        per_step=True, donate=False,
-    )
+               checkpoint_every, resume, event_log=None):
+    from .metadata import MetadataStore
+
+    events = EventLog(event_log or (work_dir / "events.jsonl"))
+    with timing.timer("runner.compile"):
+        steps, fns = E.build_circuit_fns(
+            mesh, cd, use_fusion=use_fusion, panel_width=panel_width,
+            per_step=True, donate=False,
+        )
     n = cd["number_of_qubits"]
+
+    # Queryable multi-run ledger (the reference's relational metadata
+    # tier) alongside the hot-path JSON WAL.
+    meta = MetadataStore(work_dir / "metadata.sqlite")
+    run_id = circuit_hash(cd)[:16]
+    prior = meta.get_run(run_id)
+    stale = meta.reconcile(run_id)  # PENDING left by a crash -> FAILED
+    if stale:
+        log.info("recovery: %d stale PENDING step(s) marked FAILED", len(stale))
+        events.emit("recovery", run_id=run_id, failed_steps=stale)
+    if prior is None or not resume:
+        meta.create_run(run_id, circuit_hash(cd), n, len(cd["gates"]),
+                        config={"mesh": int(mesh.size), "dtype": str(dtype),
+                                "use_fusion": use_fusion,
+                                "panel_width": panel_width})
+    events.emit("run_start", run_id=run_id, n_qubits=n, n_steps=len(steps),
+                mesh=int(mesh.size), resumed=bool(prior and resume))
 
     plan_sig = (
         f"mesh={mesh.size},fusion={use_fusion},panel={panel_width},"
@@ -138,9 +180,13 @@ def _run_inner(cd, work_dir, mesh, dtype, use_wal, use_fusion, panel_width,
 
     start_step = wal.done_steps if wal else 0
     if start_step >= len(steps) and wal and wal.committed_buf:
+        meta.close()
         return work_dir  # already complete
 
     if wal and wal.committed_buf and start_step > 0:
+        ck = meta.latest_checkpoint(run_id)
+        if ck and ck["path"] == wal.committed_buf:
+            _verify_buffer(work_dir, wal.committed_buf, ck["sha256"])
         psi = M.put_state(mesh, _load_state(work_dir, wal.committed_buf), dtype)
         cur_buf = wal.committed_buf
     else:
@@ -157,6 +203,7 @@ def _run_inner(cd, work_dir, mesh, dtype, use_wal, use_fusion, panel_width,
             wal._flush()
         else:
             atomic_write_json(work_dir / "result.json", {"committed_buf": "a"})
+        cur_buf = "a"  # the tail path records/finishes with this buffer
 
     atomic_write_json(work_dir / "manifest.json", {
         "n_qubits": n,
@@ -167,25 +214,39 @@ def _run_inner(cd, work_dir, mesh, dtype, use_wal, use_fusion, panel_width,
     })
 
     for step_idx in range(start_step, len(steps)):
-        psi = fns[step_idx](psi)
+        with timing.timer("runner.step"):
+            psi = fns[step_idx](psi)
         last = step_idx == len(steps) - 1
         if not (use_wal or last):
             continue
         if use_wal and not last and (step_idx + 1 - start_step) % checkpoint_every:
             continue
         dst = "a" if cur_buf == "b" else "b"
+        meta.wal_pending(run_id, step_idx)
         psi.block_until_ready()
-        _save_state(work_dir, dst, psi)
+        with timing.timer("runner.checkpoint"):
+            sha = _save_state(work_dir, dst, psi)
         if crash_after >= 0 and step_idx >= crash_after:
             os._exit(1)  # crash injection: buffer written, WAL NOT committed
         if wal:
             # Commit possibly several steps at once (checkpoint cadence).
             for s in range(wal.done_steps, step_idx + 1):
                 wal.commit_step(s, dst)
+        meta.wal_commit(run_id, step_idx, dst)
+        meta.add_checkpoint(
+            run_id, step_idx, dst, sha256=sha,
+            size_bytes=_buf_path(work_dir, dst).stat().st_size,
+        )
+        events.emit("step_commit", run_id=run_id, step=step_idx, buf=dst)
         cur_buf = dst
 
     if not use_wal:
         atomic_write_json(work_dir / "result.json", {"committed_buf": cur_buf})
+    meta.finish_run(run_id, "DONE")
+    meta.close()
+    events.emit("run_done", run_id=run_id,
+                metrics=timing.snapshot()["timers_s"])
+    log.info("run %s done: %d steps", run_id, len(steps))
     return work_dir
 
 

@@ -223,3 +223,66 @@ def test_fencing_breaks_remote_stale_lock(tmp_path):
         "pid": 1, "host": "other-host", "ts": 0,
     }))
     FencingLock(tmp_path).acquire().release()
+
+
+# ---------------------------------------------------------------------------
+# Relational metadata ledger + event log (wired into the runner)
+# ---------------------------------------------------------------------------
+
+def test_metadata_ledger_reflects_crash_and_recovery(tmp_path, cd):
+    from quantum_simulations_tpu.circuit.contract import (
+        circuit_hash, validate_circuit_dict,
+    )
+    from quantum_simulations_tpu.runtime.metadata import MetadataStore
+
+    wd = tmp_path / "wd"
+    r = _run_subprocess(cd, wd, crash_after=2)
+    assert r.returncode != 0  # really crashed
+
+    run_id = circuit_hash(validate_circuit_dict(cd))[:16]
+    with MetadataStore(wd / "metadata.sqlite") as meta:
+        # The crash happened after the buffer write, before the commit:
+        # the crashed step must be PENDING and the run still RUNNING.
+        assert meta.wal_pending_steps(run_id) == [2]
+        assert meta.get_run(run_id)["status"] == "RUNNING"
+
+    r2 = _run_subprocess(cd, wd)  # recover
+    assert "COMPLETED" in r2.stdout
+    with MetadataStore(wd / "metadata.sqlite") as meta:
+        assert meta.get_run(run_id)["status"] == "DONE"
+        assert meta.wal_pending_steps(run_id) == []
+        last = meta.wal_last_committed(run_id)
+        assert last is not None and last[0] >= 2
+        ck = meta.latest_checkpoint(run_id)
+        assert ck is not None and ck["sha256"] and ck["size_bytes"] > 0
+    np.testing.assert_allclose(
+        runner.collect_state(wd), oracle.simulate(cd), atol=1e-10
+    )
+
+
+def test_checkpoint_sha_verified_on_resume(tmp_path, cd):
+    wd = tmp_path / "wd"
+    r = _run_subprocess(cd, wd, crash_after=2)
+    assert r.returncode != 0
+    # Corrupt the committed buffer the resume will load.
+    wal = json.loads((wd / "wal.json").read_text())
+    buf_file = wd / f"state_{wal['committed_buf']}.npy"
+    blob = bytearray(buf_file.read_bytes())
+    blob[-9] ^= 0xFF  # flip a payload byte
+    buf_file.write_bytes(bytes(blob))
+    r2 = _run_subprocess(cd, wd)
+    assert r2.returncode != 0
+    assert "corrupt" in (r2.stderr + r2.stdout)
+
+
+def test_event_log_written(tmp_path, cd):
+    from quantum_simulations_tpu.utils.logging import EventLog
+
+    wd = tmp_path / "wd"
+    runner.run(cd, wd, dtype="complex128", use_fusion=False)
+    events = EventLog(wd / "events.jsonl").read()
+    kinds = [e["kind"] for e in events]
+    assert kinds[0] == "run_start"
+    assert "step_commit" in kinds
+    assert kinds[-1] == "run_done"
+    assert "runner.step" in events[-1]["metrics"]
