@@ -219,6 +219,10 @@ def _fit_start(qubits: list[int], n: int, w: int) -> int | None:
     possibly ragged at the top: effective width min(w, n-s)).  Gates
     straddling the 1..6 start gap (e.g. a pair on qubits 6 and 7) fit
     no window and run through the generic path.
+
+    Starts are clamped to n - w when that keeps s >= 7: a ragged top
+    window (dim < 128) measured 44-59 GB/s on v5e (MXU pads the
+    contraction to 128 and A collapses to 1) vs ~500+ GB/s full width.
     """
     lo, hi = min(qubits), max(qubits)
     if hi - lo >= w:
@@ -227,8 +231,11 @@ def _fit_start(qubits: list[int], n: int, w: int) -> int | None:
         return 0
     if lo < 7:
         return None  # straddles the forbidden start zone
+    top = n - w if n - w >= 7 else None
     # Canonical aligned start for bucket reuse, else the smallest valid.
     cand = max(7, w * (lo // w))
+    if top is not None:
+        cand = min(cand, top)
     if cand <= lo and hi < cand + w:
         return cand
     s = max(7, hi - w + 1)
@@ -364,10 +371,14 @@ def compile_window_ops(
         out.extend(generics)
         if not progress and pending:
             raise AssertionError("window scheduler stalled")  # unreachable
-    return _merge_diag_runs(out)
+    return _merge_swap_runs(_merge_diag_runs(out))
 
 
-DIAG_MERGE_MAX_QUBITS = 11
+# 13 high-qubit axes keep the phase literal at 2^13 c128 = 128 KB and
+# halve QFT-26's diag pass count vs the earlier cap of 11 (18 passes of
+# 2.3 ms measured); beyond ~13 the broadcast-view rank and literal size
+# grow without saving meaningful passes.
+DIAG_MERGE_MAX_QUBITS = 13
 
 
 def _merge_diag_runs(ops: list, max_qubits: int = DIAG_MERGE_MAX_QUBITS) -> list:
@@ -424,11 +435,71 @@ def _merge_diag_runs(ops: list, max_qubits: int = DIAG_MERGE_MAX_QUBITS) -> list
     return out
 
 
+@dataclass(frozen=True)
+class MultiSwapOp:
+    """Disjoint high-bit SWAPs fused into ONE multi-axis transpose pass.
+
+    Two SWAPs per transpose measured 421 GB/s on v5e vs ~295 GB/s for
+    one-at-a-time swapaxes — QFT's bit-reversal network is the use
+    case.  All bits must be >= 7 so the trailing view dim keeps full
+    lanes.
+    """
+    pairs: tuple[tuple[int, int], ...]
+
+
+MULTISWAP_MAX_PAIRS = 4
+
+
+def _merge_swap_runs(ops: list, *, min_bit: int = 7,
+                     max_pairs: int = MULTISWAP_MAX_PAIRS) -> list:
+    """Fuse runs of consecutive disjoint high-bit SWAPs."""
+    import numpy as _np
+    from ..ops.dense import _SWAP4
+
+    def is_high_swap(op) -> bool:
+        return (
+            isinstance(op, PhysGateOp)
+            and len(op.qubits) == 2
+            and min(op.qubits) >= min_bit
+            and op.U.shape == (4, 4)
+            and _np.array_equal(_np.asarray(op.U, _np.complex128), _SWAP4)
+        )
+
+    out: list = []
+    run: list[PhysGateOp] = []
+
+    def flush() -> None:
+        nonlocal run
+        while run:
+            group = [run.pop(0)]
+            used = set(group[0].qubits)
+            while run and len(group) < max_pairs:
+                cand = set(run[0].qubits)
+                if cand & used:
+                    break
+                used |= cand
+                group.append(run.pop(0))
+            if len(group) == 1:
+                out.append(group[0])
+            else:
+                out.append(MultiSwapOp(tuple(tuple(g.qubits) for g in group)))
+
+    for op in ops:
+        if is_high_swap(op):
+            run.append(op)
+        else:
+            flush()
+            out.append(op)
+    flush()
+    return out
+
+
 def window_stats(circuit_dict: dict, *, window: int = PANEL_W) -> dict:
     ops = compile_window_schedule(circuit_dict, window=window)
     return {
         "panels": sum(1 for o in ops if isinstance(o, WindowPanelOp)),
         "generic_gates": sum(1 for o in ops if isinstance(o, PhysGateOp)),
+        "multiswaps": sum(1 for o in ops if isinstance(o, MultiSwapOp)),
         "gates": len(circuit_dict["gates"]),
         "hbm_passes": len(ops),
     }

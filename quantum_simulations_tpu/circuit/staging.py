@@ -547,23 +547,46 @@ def permute_state(psi: np.ndarray, log2phys: list[int]) -> np.ndarray:
     )
 
 
-def staging_stats(circuit_dict: dict, k: int, method: str = "heuristic") -> dict:
-    """Exchange-round accounting with and without staging."""
-    from ..ops.exchange import exchange_cost
+def staging_stats(
+    circuit_dict: dict, k: int, method: str = "heuristic",
+    *, bit_costs: list[float] | None = None, itemsize: int = 8,
+) -> dict:
+    """Exchange accounting with and without staging.
+
+    Counts ppermute rounds AND bytes shipped per device; with
+    ``bit_costs`` (``parallel.distributed.device_bit_costs``) bytes
+    are weighted by the link each offset crosses (ICI vs DCN on a
+    pod mesh) — the mesh-aware transition cost of SURVEY §6.
+    """
+    from ..ops.exchange import (
+        exchange_bytes, exchange_cost, weighted_exchange_bytes,
+    )
     from .contract import validate_circuit_dict as _v
 
     cd = _v(circuit_dict)
 
     def cost(c):
-        total = 0
+        rounds, bts, wbts = 0, 0.0, 0.0
         for g in c["gates"]:
             U = G.gate_matrix(g["gate"], g.get("params") or {})
-            total += exchange_cost(U, tuple(g["qubits"]), k)
-        return total
+            qs = tuple(g["qubits"])
+            rounds += exchange_cost(U, qs, k)
+            bts += exchange_bytes(U, qs, k, itemsize)
+            if bit_costs is not None:
+                wbts += weighted_exchange_bytes(U, qs, k, bit_costs, itemsize)
+        return rounds, bts, wbts
 
+    r0, b0, w0 = cost(cd)
     staged, _, st = stage_circuit(cd, k, method)
-    return {
+    r1, b1, w1 = cost(staged)
+    out = {
         **st,
-        "exchanges_unstaged": cost(cd),
-        "exchanges_staged": cost(staged),
+        "exchanges_unstaged": r0,
+        "exchanges_staged": r1,
+        "bytes_unstaged": int(b0),
+        "bytes_staged": int(b1),
     }
+    if bit_costs is not None:
+        out["weighted_bytes_unstaged"] = round(w0, 1)
+        out["weighted_bytes_staged"] = round(w1, 1)
+    return out

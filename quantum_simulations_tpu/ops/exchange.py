@@ -283,3 +283,36 @@ def exchange_bytes(U: np.ndarray, qubits: tuple[int, ...], k: int,
     shard_bytes = (1 << k) * itemsize
     return int(sum(frac * shard_bytes
                    for _, frac in offset_traffic(U, qubits, k)))
+
+
+def weighted_exchange_bytes(
+    U: np.ndarray, qubits: tuple[int, ...], k: int,
+    bit_costs: list[float], itemsize: int = 8,
+) -> float:
+    """Link-cost-weighted bytes per device for this gate.
+
+    ``bit_costs[b]`` is the per-byte cost of an exchange that flips
+    device bit b (``parallel.distributed.device_bit_costs``: ICI=1,
+    DCN~20 on a host-contiguous pod mesh).  A ppermute by XOR offset
+    crosses the most expensive link among its flipped device bits —
+    the mesh-aware cost the staging scheduler minimizes, replacing
+    round counts (reference analogue: the byte accounting of
+    ``hisvsim_repo/mpi_redistributer.hpp``'s plan selection).
+    """
+    m = len(qubits)
+    dev_pos = [j for j, q in enumerate(qubits) if q >= k]
+    r = len(dev_pos)
+    shard_bytes = (1 << k) * itemsize
+    total = 0.0
+    for x, frac in offset_traffic(U, qubits, k):
+        # Map the gate-subspace offset back to device-index bits.
+        mask = 0
+        for t, j in enumerate(dev_pos):
+            if (x >> (r - 1 - t)) & 1:
+                mask |= 1 << (qubits[j] - k)
+        w = max(
+            (bit_costs[b] for b in range(len(bit_costs)) if (mask >> b) & 1),
+            default=1.0,
+        )
+        total += w * frac * shard_bytes
+    return total

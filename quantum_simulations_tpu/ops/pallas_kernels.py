@@ -165,21 +165,20 @@ def positioned_panel_planar(
     itemsize = np.dtype(fdtype).itemsize
     # VMEM budget: 4 live blocks (2 in + 2 out planes), double-buffered
     # by the pipeline, inside the 16 MB scoped limit -> keep each block
-    # <= 512 KiB (1 MiB blocks overflowed via einsum temps).  Spend the
-    # budget on batch rows when A is large, on columns when A is small
-    # (at pos near the top A -> 1 and wide CB is the only way to keep
-    # per-grid-step DMA efficient).
+    # <= 512 KiB (1 MiB blocks overflowed via einsum temps).
     # Mosaic pads the contraction dim to the 128-wide MXU, so budget
     # with the PADDED dim (a 32-wide panel at CB=4096 hit 22 MB scoped).
+    #
+    # Spend the budget on FULL COLUMNS first: a block with CB < C reads
+    # strided runs of CB*4 bytes (512 B at CB=128 — measured 210 GB/s at
+    # pos=14 vs 640 GB/s at pos=7 where CB=C), while CB=C makes each
+    # (dim, C) slab one contiguous run.  Batch rows only with leftover
+    # budget (when C <= 128 batching is what lengthens the runs).
     max_elems = max((1 << 19) // (itemsize * max(dim, 128)), 128)
-    BA = min(batch_block, A, max(1, max_elems // 128))
+    CB = min(C, max_elems)
+    BA = min(A, max(1, max_elems // CB), batch_block if C <= 128 else A)
     while A % BA:
         BA //= 2
-    CB = min(col_block * batch_block // BA if col_block else C,
-             max_elems // BA, C)
-    while C % CB:
-        CB //= 2
-    CB = max(CB, min(128, C))
 
     ore, oim = pl.pallas_call(
         _positioned_kernel,
@@ -203,6 +202,306 @@ def positioned_panel_planar(
         out_shape=[jax.ShapeDtypeStruct((A, dim, C), fdtype)] * 2,
         interpret=interpret,
     )(re.reshape(A, dim, C), im.reshape(A, dim, C), wr, wi)
+    return ore.reshape(N), oim.reshape(N)
+
+
+# ---------------------------------------------------------------------------
+# Pair-update kernel: generic 2q gates on high (>= lane) qubit pairs
+# ---------------------------------------------------------------------------
+#
+# A 2q gate on bits (hi, lo) couples the four amplitude planes selected
+# by those bits.  The XLA formulations (slice+stack, flip+broadcast)
+# measured ~6x off roofline — reverse ops defeat fusion — so window
+# mode's straddling SWAPs/CNOTs were the dominant per-op cost
+# (NOTES_ROUND1 item 1).  These kernels read each plane block once,
+# form the four complex linear combinations in VMEM with structural
+# zeros elided at trace time (CNOT/SWAP cost no multiplies), and write
+# each output block once: one HBM pass at elementwise speed.
+#
+# TPU analogue of the reference's strided AVX-512 gate paths
+# (hisvsim_repo/basic_gates.hpp:99-1300).
+#
+# Two layouts keep tiles clean (>= (8, 128)) across the bit range;
+# straddlers always have span hi-lo >= 7, which guarantees B >= 64:
+#  * lo in [7, 12]  — "column" kernel: view (A, 2, B, 2^(lo+1)); the
+#    lo-bit halves are lane-aligned column ranges of one block, the hi
+#    bit is a leading axis.
+#  * lo >= 13       — "row" kernel: view (R, 2^c); both bits are row
+#    bits; four input refs select the planes via block index maps and
+#    the output-plane index is the innermost grid dim, so Mosaic holds
+#    the same four input blocks across the four output steps.
+
+
+def _pair_coeffs(U, qa: int, qb: int) -> np.ndarray:
+    """C[ho, lo_, h, l] = <out plane (ho,lo_)| U |in plane (h,l)>.
+
+    (h, l) are the values of the high/low *bit positions*; U is
+    big-endian in gate-qubit order (qa = MSB), per the contract.
+    """
+    hi = max(qa, qb)
+
+    def sub(h: int, l: int) -> int:
+        return (h << 1) | l if qa == hi else (l << 1) | h
+
+    u = np.asarray(U, dtype=np.complex128)
+    C = np.zeros((2, 2, 2, 2), dtype=np.complex128)
+    for ho in (0, 1):
+        for lo_ in (0, 1):
+            for h in (0, 1):
+                for l in (0, 1):
+                    C[ho, lo_, h, l] = u[sub(ho, lo_), sub(h, l)]
+    return C
+
+
+def _plane_lincomb(coeffs, planes, shape, fdtype):
+    """sum(c * (xr + i xi)) with trace-time zero/one elision."""
+    ar = ai = None
+
+    def add(acc, t):
+        return t if acc is None else acc + t
+
+    for c, (xr, xi) in zip(coeffs, planes):
+        cr, ci = float(np.real(c)), float(np.imag(c))
+        if cr != 0.0:
+            ar = add(ar, xr if cr == 1.0 else cr * xr)
+            ai = add(ai, xi if cr == 1.0 else cr * xi)
+        if ci != 0.0:
+            ar = add(ar, (-ci) * xi)
+            ai = add(ai, ci * xr)
+    if ar is None:
+        ar = jnp.zeros(shape, fdtype)
+        ai = jnp.zeros(shape, fdtype)
+    return ar, ai
+
+
+def _pair_col_kernel(re_ref, im_ref, ore_ref, oim_ref, *, Clo, C):
+    planes = {}
+    for h in (0, 1):
+        for l in (0, 1):
+            sl = slice(l * Clo, (l + 1) * Clo)
+            planes[(h, l)] = (re_ref[:, h, :, sl], im_ref[:, h, :, sl])
+    keys = [(0, 0), (0, 1), (1, 0), (1, 1)]
+    shape = planes[(0, 0)][0].shape
+    for ho, lo_ in keys:
+        ar, ai = _plane_lincomb(
+            [C[ho, lo_, h, l] for h, l in keys],
+            [planes[k] for k in keys], shape, re_ref.dtype)
+        sl = slice(lo_ * Clo, (lo_ + 1) * Clo)
+        ore_ref[:, ho, :, sl] = ar
+        oim_ref[:, ho, :, sl] = ai
+
+
+def _pair_row_kernel(*refs, C):
+    in_refs, (ore_ref, oim_ref) = refs[:8], refs[8:]
+    j = pl.program_id(3)
+    keys = [(0, 0), (0, 1), (1, 0), (1, 1)]
+    planes = [(in_refs[k][:], in_refs[4 + k][:]) for k in range(4)]
+    shape = planes[0][0].shape
+
+    def mk(ho, lo_):
+        def f():
+            return _plane_lincomb(
+                [C[ho, lo_, h, l] for h, l in keys],
+                planes, shape, in_refs[0].dtype)
+        return f
+
+    ar, ai = jax.lax.switch(j, [mk(*k) for k in keys])
+    ore_ref[:] = ar
+    oim_ref[:] = ai
+
+
+PAIR_COL_MAX_LO = 12
+
+
+def pair_update_supported(qa: int, qb: int, lane: int = 7) -> bool:
+    hi, lo = max(qa, qb), min(qa, qb)
+    if lo < lane:
+        return False
+    return lo >= 13 or hi >= lo + 4  # column kernel needs B >= 8
+
+
+def pair_update_planar(
+    re: jnp.ndarray,
+    im: jnp.ndarray,
+    qa: int,
+    qb: int,
+    U: np.ndarray,
+    *,
+    interpret: bool = False,
+):
+    """Apply a 4x4 unitary to high qubit pair (qa, qb) on f32 planes.
+
+    One HBM pass (read once, write once); requires
+    :func:`pair_update_supported`.  U is big-endian (qa = MSB).
+    """
+    hi, lo = max(qa, qb), min(qa, qb)
+    assert pair_update_supported(qa, qb), (qa, qb)
+    C = _pair_coeffs(U, qa, qb)
+    N = re.size
+    fdtype = re.dtype
+
+    if lo <= PAIR_COL_MAX_LO:
+        C2 = 1 << (lo + 1)
+        Clo = 1 << lo
+        B = 1 << (hi - lo - 1)
+        A = N >> (hi + 1)
+        BB = min(B, max(8, (1 << 16) // (2 * C2)))
+        BA = min(A, max(1, (1 << 16) // (2 * BB * C2)))
+        kern = functools.partial(_pair_col_kernel, Clo=Clo, C=C)
+        spec = pl.BlockSpec((BA, 2, BB, C2), lambda a, b: (a, 0, b, 0),
+                            memory_space=pltpu.VMEM)
+        ore, oim = pl.pallas_call(
+            kern,
+            grid=(A // BA, B // BB),
+            in_specs=[spec, spec],
+            out_specs=[spec, spec],
+            out_shape=[jax.ShapeDtypeStruct((A, 2, B, C2), fdtype)] * 2,
+            interpret=interpret,
+        )(re.reshape(A, 2, B, C2), im.reshape(A, 2, B, C2))
+        return ore.reshape(N), oim.reshape(N)
+
+    # Row kernel: view (R, Cc); both gate bits are row-block index bits.
+    c = min(lo - 3, 12)
+    Cc = 1 << c
+    BR = min(1 << (lo - c), max(8, (1 << 16) // Cc))
+    A = N >> (hi + 1)
+    Bp = 1 << (hi - lo - 1)
+    T = (1 << (lo - c)) // BR
+    R = N // Cc
+
+    def in_map(h, l):
+        return lambda a, b, t, j: ((((a * 2 + h) * Bp + b) * 2 + l) * T + t, 0)
+
+    def out_map(a, b, t, j):
+        return ((((a * 2 + j // 2) * Bp + b) * 2 + j % 2) * T + t, 0)
+
+    in_specs = [
+        pl.BlockSpec((BR, Cc), in_map(h, l), memory_space=pltpu.VMEM)
+        for h in (0, 1) for l in (0, 1)
+    ]
+    in_specs = in_specs + in_specs  # re planes then im planes
+    out_spec = pl.BlockSpec((BR, Cc), out_map, memory_space=pltpu.VMEM)
+    kern = functools.partial(_pair_row_kernel, C=C)
+    xr = re.reshape(R, Cc)
+    xi = im.reshape(R, Cc)
+    ore, oim = pl.pallas_call(
+        kern,
+        grid=(A, Bp, T, 4),
+        in_specs=in_specs,
+        out_specs=[out_spec, out_spec],
+        out_shape=[jax.ShapeDtypeStruct((R, Cc), fdtype)] * 2,
+        interpret=interpret,
+    )(xr, xr, xr, xr, xi, xi, xi, xi)
+    return ore.reshape(N), oim.reshape(N)
+
+
+# ---------------------------------------------------------------------------
+# Mixed-pair kernel: 2q gates with one lane qubit (< 7) and one high qubit
+# ---------------------------------------------------------------------------
+#
+# The complex mixed path (plane decomposition + XLA lane matmuls)
+# measured 13-22 ms per gate at n=26 — QFT's far SWAPs made it the
+# single largest e2e cost.  Here the state is viewed as
+# (A, 2, B, 128): the high bit is a leading plane axis, and the lane
+# bit is handled by 128x128 constant lane operators on the MXU —
+# out[ho] = sum_h x[h] @ L[ho,h]^T — fused over both planes in ONE
+# HBM pass.  Requires hi >= 10 so the sublane dim B >= 8.
+
+
+def mixed_pair_supported(qa: int, qb: int, lane: int = 7) -> bool:
+    hi, lo = max(qa, qb), min(qa, qb)
+    return lo < lane and hi >= 10
+
+
+def _mixed_lane_ops(U, qa: int, qb: int) -> np.ndarray:
+    """L[ho, h] = 128x128 lane operator for high-plane pair (ho, h)."""
+    from .dense import expand_to_low_block
+
+    hi, lo = max(qa, qb), min(qa, qb)
+
+    def sub(h: int, l: int) -> int:
+        return (h << 1) | l if qa == hi else (l << 1) | h
+
+    u = np.asarray(U, dtype=np.complex128)
+    L = np.zeros((2, 2, 128, 128), dtype=np.complex128)
+    for ho in (0, 1):
+        for h in (0, 1):
+            blk = np.array(
+                [[u[sub(ho, a), sub(h, b)] for b in (0, 1)] for a in (0, 1)])
+            L[ho, h] = expand_to_low_block((lo,), blk, 7)
+    return L
+
+
+def _mixed_kernel(re_ref, im_ref, lr_ref, li_ref, ore_ref, oim_ref, *,
+                  use_r, use_i):
+    _DN2 = (((2,), (1,)), ((), ()))
+
+    def mm(x, m):
+        return jax.lax.dot_general(x, m, _DN2, precision=HI)
+
+    xs = {h: (re_ref[:, h, :, :], im_ref[:, h, :, :]) for h in (0, 1)}
+
+    def add(a, t):
+        return t if a is None else a + t
+
+    for ho in (0, 1):
+        ar = ai = None
+        for h in (0, 1):
+            xr, xi = xs[h]
+            if use_r[ho][h]:
+                mr = lr_ref[ho, h, :, :]
+                ar = add(ar, mm(xr, mr))
+                ai = add(ai, mm(xi, mr))
+            if use_i[ho][h]:
+                mi = li_ref[ho, h, :, :]
+                ar = add(ar, -mm(xi, mi))
+                ai = add(ai, mm(xr, mi))
+        if ar is None:
+            ar = jnp.zeros_like(xs[0][0])
+            ai = jnp.zeros_like(xs[0][1])
+        ore_ref[:, ho, :, :] = ar
+        oim_ref[:, ho, :, :] = ai
+
+
+def mixed_pair_planar(
+    re: jnp.ndarray,
+    im: jnp.ndarray,
+    qa: int,
+    qb: int,
+    U: np.ndarray,
+    *,
+    interpret: bool = False,
+):
+    """Apply a 4x4 unitary to (high, lane) qubit pair on f32 planes."""
+    hi = max(qa, qb)
+    assert mixed_pair_supported(qa, qb), (qa, qb)
+    L = _mixed_lane_ops(U, qa, qb)
+    N = re.size
+    fdtype = re.dtype
+    A = N >> (hi + 1)
+    B = 1 << (hi - 7)
+
+    Lr = np.ascontiguousarray(L.real, dtype=fdtype)
+    Li = np.ascontiguousarray(L.imag, dtype=fdtype)
+    use_r = [[bool(Lr[ho, h].any()) for h in (0, 1)] for ho in (0, 1)]
+    use_i = [[bool(Li[ho, h].any()) for h in (0, 1)] for ho in (0, 1)]
+
+    BB = min(B, 256)
+    BA = min(A, max(1, (1 << 16) // (2 * BB * 128)))
+    spec = pl.BlockSpec((BA, 2, BB, 128), lambda a, b: (a, 0, b, 0),
+                        memory_space=pltpu.VMEM)
+    lspec = pl.BlockSpec((2, 2, 128, 128), lambda a, b: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    kern = functools.partial(_mixed_kernel, use_r=use_r, use_i=use_i)
+    ore, oim = pl.pallas_call(
+        kern,
+        grid=(A // BA, B // BB),
+        in_specs=[spec, spec, lspec, lspec],
+        out_specs=[spec, spec],
+        out_shape=[jax.ShapeDtypeStruct((A, 2, B, 128), fdtype)] * 2,
+        interpret=interpret,
+    )(re.reshape(A, 2, B, 128), im.reshape(A, 2, B, 128),
+      jnp.asarray(Lr), jnp.asarray(Li))
     return ore.reshape(N), oim.reshape(N)
 
 

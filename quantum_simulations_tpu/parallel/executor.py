@@ -62,11 +62,9 @@ def _window_steps_body(steps: list[Step], k: int, axis_name: str,
     (the planar<->complex conversions are elementwise and fuse into the
     neighbouring passes).
     """
-    from ..circuit.panelize import (
-        PhysGateOp, WindowPanelOp, compile_window_ops,
-    )
-    from ..ops import dense
+    from ..circuit.panelize import compile_window_ops
     from ..ops import pallas_kernels as pk
+    from ..runtime.simulator import apply_window_op
 
     win_ops = [
         compile_window_ops(
@@ -83,21 +81,7 @@ def _window_steps_body(steps: list[Step], k: int, axis_name: str,
         re, im = pk.to_planar(shard)
         for step, wops in zip(steps, win_ops):
             for op in wops:
-                if isinstance(op, WindowPanelOp):
-                    if op.pos == 0:
-                        re, im = pk.panel_apply_planar(
-                            re, im, op.W, interpret=interpret)
-                    else:
-                        re, im = pk.positioned_panel_planar(
-                            re, im, op.W, op.pos, interpret=interpret)
-                else:
-                    planar = dense.apply_gate_planar(re, im, op.qubits, op.U)
-                    if planar is not None:
-                        re, im = planar
-                    else:
-                        c = dense.apply_gate(
-                            pk.from_planar(re, im, dtype), op.qubits, op.U)
-                        re, im = pk.to_planar(c)
+                re, im = apply_window_op(re, im, op, dtype, interpret)
             if step.nonlocal_ops:
                 c = _apply_nonlocal_phase(
                     pk.from_planar(re, im, dtype), step, k, axis_name)

@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..circuit import gates as G
 from ..circuit.contract import circuit_hash, validate_circuit_dict
 from ..circuit.fusion import GateOp, LowPanelOp, compile_steps
 from ..ops import dense
@@ -112,6 +113,69 @@ def build_panel_circuit_fn(
     return jitted
 
 
+def apply_multiswap_planar(re, im, pairs):
+    """Disjoint high-bit SWAPs as ONE multi-axis transpose per plane."""
+    n = int(np.log2(re.size))
+    bits = sorted({b for p in pairs for b in p}, reverse=True)
+    shape: list[int] = []
+    axis_of: dict[int, int] = {}
+    prev = n
+    for b in bits:
+        shape.extend([1 << (prev - b - 1), 2])
+        axis_of[b] = len(shape) - 1
+        prev = b
+    shape.append(1 << prev)
+    perm = list(range(len(shape)))
+    for a, b in pairs:
+        perm[axis_of[a]], perm[axis_of[b]] = perm[axis_of[b]], perm[axis_of[a]]
+    re = jnp.transpose(re.reshape(shape), perm).reshape(re.size)
+    im = jnp.transpose(im.reshape(shape), perm).reshape(im.size)
+    return re, im
+
+
+def apply_window_op(re, im, op, dtype, interpret):
+    """Dispatch ONE window-schedule op on planar f32 planes.
+
+    The single dispatch table for window execution — used by the
+    single-chip window executor and the sharded shard_map body, so
+    kernel policy decisions (measured on v5e, see bench/opprof.py)
+    live in exactly one place:
+
+    * panels              -> Pallas lane / positioned panel kernels
+    * disjoint SWAP runs  -> one multi-axis transpose (MultiSwapOp)
+    * single high SWAP    -> XLA swapaxes transpose (360 GB/s; beats
+                             the pair kernel's 320 for this one gate)
+    * high 2q non-diag    -> Pallas pair-update kernel
+    * (lane, high) 2q     -> Pallas mixed-pair kernel
+    * everything else     -> planar elementwise / complex mixed paths
+    """
+    from ..circuit.panelize import MultiSwapOp, WindowPanelOp
+    from ..ops import pallas_kernels as pk
+
+    if isinstance(op, WindowPanelOp):
+        if op.pos == 0:
+            return pk.panel_apply_planar(re, im, op.W, interpret=interpret)
+        return pk.positioned_panel_planar(
+            re, im, op.W, op.pos, interpret=interpret)
+    if isinstance(op, MultiSwapOp):
+        return apply_multiswap_planar(re, im, op.pairs)
+    if len(op.qubits) == 2 and not G.is_diagonal(op.U):
+        qa, qb = op.qubits
+        is_swap = np.array_equal(
+            np.asarray(op.U, np.complex128), dense._SWAP4)
+        if not is_swap and pk.pair_update_supported(qa, qb):
+            return pk.pair_update_planar(
+                re, im, qa, qb, op.U, interpret=interpret)
+        if pk.mixed_pair_supported(qa, qb):
+            return pk.mixed_pair_planar(
+                re, im, qa, qb, op.U, interpret=interpret)
+    planar = dense.apply_gate_planar(re, im, op.qubits, op.U)
+    if planar is not None:
+        return planar
+    c = dense.apply_gate(pk.from_planar(re, im, dtype), op.qubits, op.U)
+    return pk.to_planar(c)
+
+
 def build_window_circuit_fn(
     circuit_dict: dict,
     *,
@@ -152,25 +216,11 @@ def build_window_circuit_fn(
     def fn(psi):
         re, im = pk.to_planar(psi)
         for op in ops:
-            if isinstance(op, WindowPanelOp):
-                # Panels ship as baked literals: composing them in-graph
-                # from per-gate constants is NOT folded by XLA and ran
-                # 4.4x slower at n=28.  Literal size stays small because
-                # the scheduler emits minimal-width positioned panels.
-                if op.pos == 0:
-                    re, im = pk.panel_apply_planar(
-                        re, im, op.W, interpret=interpret)
-                else:
-                    re, im = pk.positioned_panel_planar(
-                        re, im, op.W, op.pos, interpret=interpret)
-            else:
-                planar = dense.apply_gate_planar(re, im, op.qubits, op.U)
-                if planar is not None:
-                    re, im = planar
-                else:  # mixed low/high non-diagonal: complex path
-                    c = dense.apply_gate(
-                        pk.from_planar(re, im, dtype), op.qubits, op.U)
-                    re, im = pk.to_planar(c)
+            # Panels ship as baked literals: composing them in-graph
+            # from per-gate constants is NOT folded by XLA and ran
+            # 4.4x slower at n=28.  Literal size stays small because
+            # the scheduler emits minimal-width positioned panels.
+            re, im = apply_window_op(re, im, op, dtype, interpret)
         return pk.from_planar(re, im, dtype)
 
     jitted = jax.jit(fn, donate_argnums=(0,) if donate else ())

@@ -64,6 +64,64 @@ def test_panel_kernel_gate_semantics():
     np.testing.assert_allclose(got, want, atol=1e-4)
 
 
+PAIR_CASES = [
+    # (n, qa, qb) — column kernel (lo in [7,12], hi >= lo+4)
+    (16, 15, 8), (16, 7, 14), (17, 16, 12), (18, 17, 7),
+    # row kernel (lo >= 13)
+    (16, 15, 13), (18, 17, 13), (19, 18, 14),
+]
+
+
+@pytest.mark.parametrize("n,qa,qb", PAIR_CASES)
+@pytest.mark.parametrize("gate", ["SWAP", "CNOT", "CZ", "random"])
+def test_pair_update_planar_matches_oracle(n, qa, qb, gate):
+    from quantum_simulations_tpu.oracle import dense_numpy as oracle
+    from quantum_simulations_tpu.ops.pallas_kernels import (
+        pair_update_planar, pair_update_supported,
+    )
+
+    assert pair_update_supported(qa, qb)
+    U = _rand_unitary(4, seed=n + qa) if gate == "random" else getattr(G, gate)()
+    psi = _rand_state(n, seed=n * 31 + qa)
+    re, im = to_planar(jnp.asarray(psi))
+    ore, oim = pair_update_planar(re, im, qa, qb, U, interpret=True)
+    got = np.asarray(from_planar(ore, oim))
+    want = oracle.apply_gate(psi.astype(np.complex128), [qa, qb], U)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+MIXED_CASES = [
+    (14, 13, 3), (16, 10, 0), (15, 12, 6), (16, 2, 15),
+]
+
+
+@pytest.mark.parametrize("n,qa,qb", MIXED_CASES)
+@pytest.mark.parametrize("gate", ["SWAP", "CNOT", "CZ", "random"])
+def test_mixed_pair_planar_matches_oracle(n, qa, qb, gate):
+    from quantum_simulations_tpu.oracle import dense_numpy as oracle
+    from quantum_simulations_tpu.ops.pallas_kernels import (
+        mixed_pair_planar, mixed_pair_supported,
+    )
+
+    assert mixed_pair_supported(qa, qb)
+    U = _rand_unitary(4, seed=n + qa) if gate == "random" else getattr(G, gate)()
+    psi = _rand_state(n, seed=n * 17 + qb)
+    re, im = to_planar(jnp.asarray(psi))
+    ore, oim = mixed_pair_planar(re, im, qa, qb, U, interpret=True)
+    got = np.asarray(from_planar(ore, oim))
+    want = oracle.apply_gate(psi.astype(np.complex128), [qa, qb], U)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_pair_update_supported_bounds():
+    from quantum_simulations_tpu.ops.pallas_kernels import pair_update_supported
+
+    assert not pair_update_supported(6, 14)   # low qubit below lane
+    assert not pair_update_supported(8, 10)   # col kernel needs hi >= lo+4
+    assert pair_update_supported(13, 14)      # row kernel: any span
+    assert pair_update_supported(7, 11)
+
+
 def test_planar_roundtrip():
     psi = _rand_state(8, seed=5)
     re, im = to_planar(jnp.asarray(psi))

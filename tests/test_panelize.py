@@ -92,3 +92,55 @@ def test_window_straddling_pair():
 def test_empty_circuit_panel():
     ops, shift = compile_panel_schedule({"number_of_qubits": 4, "gates": []})
     assert ops == [] and shift == 0
+
+
+def test_multiswap_merge_and_semantics():
+    """Consecutive disjoint high SWAPs fuse into one MultiSwapOp whose
+    transpose matches per-gate application (QFT's bit-reversal)."""
+    import jax.numpy as jnp
+    from quantum_simulations_tpu.circuit.panelize import (
+        MultiSwapOp, PhysGateOp, _merge_swap_runs,
+    )
+    from quantum_simulations_tpu.circuit import gates as G
+    from quantum_simulations_tpu.oracle import dense_numpy as oracle
+    from quantum_simulations_tpu.runtime.simulator import (
+        apply_multiswap_planar,
+    )
+    from quantum_simulations_tpu.ops.pallas_kernels import (
+        from_planar, to_planar,
+    )
+
+    ops = [
+        PhysGateOp((15, 7), G.SWAP(), "SWAP"),
+        PhysGateOp((14, 8), G.SWAP(), "SWAP"),
+        PhysGateOp((13, 9), G.SWAP(), "SWAP"),
+    ]
+    merged = _merge_swap_runs(list(ops))
+    assert len(merged) == 1 and isinstance(merged[0], MultiSwapOp)
+    assert len(merged[0].pairs) == 3
+
+    # overlapping bits break the run
+    clash = _merge_swap_runs([
+        PhysGateOp((15, 7), G.SWAP(), "SWAP"),
+        PhysGateOp((15, 8), G.SWAP(), "SWAP"),
+    ])
+    assert len(clash) == 2
+
+    # low-bit SWAPs never merge (trailing dim must keep full lanes)
+    lowswap = _merge_swap_runs([
+        PhysGateOp((15, 3), G.SWAP(), "SWAP"),
+        PhysGateOp((14, 8), G.SWAP(), "SWAP"),
+    ])
+    assert all(isinstance(o, PhysGateOp) for o in lowswap)
+
+    n = 16
+    rng = np.random.default_rng(5)
+    psi = rng.normal(size=1 << n) + 1j * rng.normal(size=1 << n)
+    psi = (psi / np.linalg.norm(psi)).astype(np.complex64)
+    re, im = to_planar(jnp.asarray(psi))
+    re, im = apply_multiswap_planar(re, im, merged[0].pairs)
+    got = np.asarray(from_planar(re, im))
+    want = psi.astype(np.complex128)
+    for qs in [(15, 7), (14, 8), (13, 9)]:
+        want = oracle.apply_gate(want, list(qs), G.SWAP())
+    np.testing.assert_allclose(got, want, atol=1e-6)
