@@ -101,8 +101,23 @@ def sample(circuit_dict: dict, shots: int, *, seed: int = 0,
     from .ops import sampling
 
     cfg = config or SimulatorConfig()
-    psi = simulate(circuit_dict, cfg)
     n = validate_circuit_dict(circuit_dict)["number_of_qubits"]
+    if (cfg.n_devices or 1) > 1 and not cfg.sparse and cfg.stripe_qubits is None:
+        # Sharded tier: keep the state on the mesh and sample SPMD —
+        # no host gather of the 2^n vector (the 30-34q target sizes
+        # don't fit one host buffer comfortably).
+        from .parallel import executor as E
+        from .parallel import mesh as M
+
+        mesh = M.make_mesh(cfg.n_devices)
+        psi = E.simulate_sharded(
+            mesh, circuit_dict, dtype=cfg.dtype, use_fusion=cfg.use_fusion,
+            panel_width=cfg.panel_width,
+            mode="window" if cfg.mode == "window" else "fused",
+        )
+        return np.asarray(sampling.sample_bits_sharded(
+            psi, jax.random.PRNGKey(seed), shots, n, mesh))
+    psi = simulate(circuit_dict, cfg)
     if cfg.sparse:
         # SparseState samples over its nnz support directly — no dense
         # 2^n expansion (works at any n, e.g. 1000-qubit GHZ).

@@ -23,11 +23,13 @@ FETCH_LATENCY_S = 0.044
 
 
 def _class_key(op) -> str:
-    from ..circuit.panelize import PhysGateOp, WindowPanelOp
+    from ..circuit.panelize import MultiSwapOp, PhysGateOp, WindowPanelOp
     from ..circuit import gates as G
 
     if isinstance(op, WindowPanelOp):
         return f"panel@{op.pos}"
+    if isinstance(op, MultiSwapOp):
+        return f"multiswap{len(op.pairs)}"
     assert isinstance(op, PhysGateOp)
     if G.is_diagonal(op.U):
         return f"diag{len(op.qubits)}"
@@ -40,8 +42,8 @@ def _class_key(op) -> str:
     return f"generic{len(op.qubits)}"
 
 
-def profile_schedule(circuit_dict: dict, *, iters: int = 8, reps: int = 3,
-                     pair_kernel: bool = True) -> dict:
+def profile_schedule(circuit_dict: dict, *, iters: int = 8,
+                     reps: int = 3) -> dict:
     """Time every op class of the window schedule of ``circuit_dict``."""
     import jax
     import jax.numpy as jnp
@@ -54,30 +56,17 @@ def profile_schedule(circuit_dict: dict, *, iters: int = 8, reps: int = 3,
     from ..ops import dense
     from ..ops import pallas_kernels as pk
 
+    from ..runtime.simulator import apply_window_op
+
     cd = circuit_dict
     n = cd["number_of_qubits"]
     ops = compile_window_schedule(cd)
     interpret = jax.default_backend() != "tpu"
 
     def apply_op(op, re, im):
-        if isinstance(op, WindowPanelOp):
-            if op.pos == 0:
-                return pk.panel_apply_planar(re, im, op.W, interpret=interpret)
-            return pk.positioned_panel_planar(
-                re, im, op.W, op.pos, interpret=interpret)
-        if (
-            pair_kernel
-            and len(op.qubits) == 2
-            and not G.is_diagonal(op.U)
-            and pk.pair_update_supported(*op.qubits)
-        ):
-            return pk.pair_update_planar(
-                re, im, op.qubits[0], op.qubits[1], op.U, interpret=interpret)
-        planar = dense.apply_gate_planar(re, im, op.qubits, op.U)
-        if planar is not None:
-            return planar
-        c = dense.apply_gate(pk.from_planar(re, im), op.qubits, op.U)
-        return pk.to_planar(c)
+        # The PRODUCTION dispatcher — profiles attribute exactly what
+        # the window executor will run.
+        return apply_window_op(re, im, op, jnp.complex64, interpret)
 
     # One representative per class + counts.
     classes: dict[str, dict] = {}
@@ -169,6 +158,20 @@ def straddler_policies(n: int = 26, *, iters: int = 8, reps: int = 3) -> dict:
                          + 1j * np.random.default_rng(8).normal(size=(4, 4)))[0],
             interpret=interpret),
     }
+    def mixed_old(re, im, qs, U):
+        c = dense.apply_gate(pk.from_planar(re, im), qs, U)
+        return pk.to_planar(c)
+
+    cases.update({
+        # (lane, high) pairs: old complex mixed path vs the Pallas kernel
+        "swapmixed_xla": lambda re, im: mixed_old(re, im, (hi, 3), SW),
+        "swapmixed_kernel": lambda re, im: pk.mixed_pair_planar(
+            re, im, hi, 3, SW, interpret=interpret),
+        "cnotmixed_xla": lambda re, im: mixed_old(re, im, (3, hi), CX),
+        "cnotmixed_kernel": lambda re, im: pk.mixed_pair_planar(
+            re, im, 3, hi, CX, interpret=interpret),
+    })
+
     # two disjoint SWAPs — (n-1, 8) and (n-2, 9) — in ONE transpose pass
     def multi_swap(re, im):
         shape = (2, 2, 1 << (n - 12), 2, 2, 1 << 8)

@@ -65,6 +65,16 @@ def _load():
     lib.qst_norm2_c64.restype = ctypes.c_double
     lib.qst_norm2_c128.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
     lib.qst_norm2_c128.restype = ctypes.c_double
+    for name in ("qst_prob_qubit_c64", "qst_prob_qubit_c128"):
+        getattr(lib, name).argtypes = [
+            ctypes.c_void_p, ctypes.c_uint64, ctypes.c_int,
+        ]
+        getattr(lib, name).restype = ctypes.c_double
+    for name in ("qst_project_qubit_c64", "qst_project_qubit_c128"):
+        getattr(lib, name).argtypes = [
+            ctypes.c_void_p, ctypes.c_uint64, ctypes.c_int, ctypes.c_int,
+            ctypes.c_double,
+        ]
     _lib = lib
     AVAILABLE = True
     return lib
@@ -127,3 +137,21 @@ def norm2(psi: np.ndarray) -> float:
     if lib is None:
         raise RuntimeError(f"native engine unavailable: {BUILD_ERROR}")
     return float(getattr(lib, f"qst_norm2_{_suffix(psi)}")(_ptr(psi), psi.size))
+
+
+def prob_qubit(psi: np.ndarray, q: int) -> float:
+    """P(qubit q == 1) — parallel strided reduction."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native engine unavailable: {BUILD_ERROR}")
+    return float(
+        getattr(lib, f"qst_prob_qubit_{_suffix(psi)}")(_ptr(psi), psi.size, q))
+
+
+def project_qubit(psi: np.ndarray, q: int, outcome: int, scale: float) -> None:
+    """In-place collapse onto qubit q == outcome, rescaled by `scale`."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native engine unavailable: {BUILD_ERROR}")
+    getattr(lib, f"qst_project_qubit_{_suffix(psi)}")(
+        _ptr(psi), psi.size, q, int(outcome), float(scale))

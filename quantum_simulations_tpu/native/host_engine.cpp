@@ -129,6 +129,50 @@ void apply_diag(std::complex<T>* psi, u64 n_amps, const int* qubits, int m,
     }
 }
 
+// Marginal probability P(bit q == 1): one parallel strided reduction.
+// Measurement parity with the reference's state_vector measure path
+// (hisvsim_repo/state_vector.hpp:829-897).
+template <typename T>
+double prob_qubit(const std::complex<T>* psi, u64 n_amps, int q) {
+    const u64 step = u64(1) << q;
+    const u64 block = step << 1;
+    const u64 n_blocks = n_amps / block;
+    double acc = 0.0;
+#if defined(_OPENMP)
+#pragma omp parallel for schedule(static) reduction(+ : acc)
+#endif
+    for (long long bi = 0; bi < (long long)n_blocks; ++bi) {
+        const u64 base = u64(bi) * block + step;
+        for (u64 off = 0; off < step; ++off) {
+            const std::complex<T>& v = psi[base + off];
+            acc += (double)v.real() * v.real() + (double)v.imag() * v.imag();
+        }
+    }
+    return acc;
+}
+
+// Collapse onto bit q == outcome and rescale by `scale` (caller passes
+// 1/sqrt(p_outcome)); zeroes the discarded half in the same pass.
+template <typename T>
+void project_qubit(std::complex<T>* psi, u64 n_amps, int q, int outcome,
+                   double scale) {
+    const u64 step = u64(1) << q;
+    const u64 block = step << 1;
+    const u64 n_blocks = n_amps / block;
+    const T s = static_cast<T>(scale);
+#if defined(_OPENMP)
+#pragma omp parallel for schedule(static)
+#endif
+    for (long long bi = 0; bi < (long long)n_blocks; ++bi) {
+        const u64 keep_base = u64(bi) * block + (outcome ? step : 0);
+        const u64 kill_base = u64(bi) * block + (outcome ? 0 : step);
+        for (u64 off = 0; off < step; ++off) {
+            psi[keep_base + off] *= s;
+            psi[kill_base + off] = std::complex<T>(0, 0);
+        }
+    }
+}
+
 template <typename T>
 double norm2(const std::complex<T>* psi, u64 n_amps) {
     double acc = 0.0;
@@ -185,6 +229,20 @@ void qst_apply_diag_c64(void* psi, u64 n, const int* qubits, int m, const void* 
 void qst_apply_diag_c128(void* psi, u64 n, const int* qubits, int m, const void* d) {
     apply_diag(reinterpret_cast<std::complex<double>*>(psi), n, qubits, m,
                reinterpret_cast<const std::complex<double>*>(d));
+}
+double qst_prob_qubit_c64(const void* psi, u64 n, int q) {
+    return prob_qubit(reinterpret_cast<const std::complex<float>*>(psi), n, q);
+}
+double qst_prob_qubit_c128(const void* psi, u64 n, int q) {
+    return prob_qubit(reinterpret_cast<const std::complex<double>*>(psi), n, q);
+}
+void qst_project_qubit_c64(void* psi, u64 n, int q, int outcome, double scale) {
+    project_qubit(reinterpret_cast<std::complex<float>*>(psi), n, q, outcome,
+                  scale);
+}
+void qst_project_qubit_c128(void* psi, u64 n, int q, int outcome, double scale) {
+    project_qubit(reinterpret_cast<std::complex<double>*>(psi), n, q, outcome,
+                  scale);
 }
 double qst_norm2_c64(const void* psi, u64 n) {
     return norm2(reinterpret_cast<const std::complex<float>*>(psi), n);

@@ -105,3 +105,54 @@ def sample_bits(psi: jax.Array, key: jax.Array, shots: int, n: int) -> jax.Array
 def fidelity(a: jax.Array, b: jax.Array) -> jax.Array:
     """|<a|b>| — phase-invariant overlap."""
     return jnp.abs(jnp.vdot(a, b))
+
+
+def sample_bits_sharded(psi: jax.Array, key: jax.Array, shots: int, n: int,
+                        mesh) -> jax.Array:
+    """Bitstring sampling from a MESH-SHARDED state, fully SPMD.
+
+    Hierarchical Gumbel-max: (1) each device reduces its shard's total
+    probability, an ``all_gather`` of D scalars picks the owning shard
+    per shot; (2) every device draws a local categorical over its own
+    2^k amplitudes and a ``psum``-masked select keeps the owner's draw.
+    No device ever sees the full 2^n vector and nothing is gathered to
+    the host — this is what makes the 30-34q sampling targets feasible
+    (the single-chip path builds the full log-prob vector).  Returns a
+    (shots, n) int8 bit matrix, column q = qubit q; local indices stay
+    int32 (k <= 31), so no x64 is needed at any n.
+    """
+    from jax import lax, shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import AXIS, shard_width
+
+    k = shard_width(mesh, n)
+    d = n - k
+
+    def body(shard, key):
+        shard = shard.reshape(-1)
+        i = lax.axis_index(AXIS)
+        p = probabilities(shard)
+        totals = lax.all_gather(jnp.sum(p), AXIS)  # (D,) tiny
+        key_shard, key_local = jax.random.split(key)
+        # Same key on every device -> identical shard choices.
+        shard_choice = jax.random.categorical(
+            key_shard, jnp.log(totals + 1e-38), shape=(shots,))
+        local = jax.random.categorical(
+            jax.random.fold_in(key_local, i),
+            jnp.log(p + 1e-38), shape=(shots,))
+        mine = (shard_choice == i).astype(jnp.int32)
+        local_idx = lax.psum(local.astype(jnp.int32) * mine, AXIS)
+        qs = jnp.arange(k, dtype=jnp.int32)
+        local_bits = ((local_idx[:, None] >> qs[None, :]) & 1).astype(jnp.int8)
+        if d == 0:
+            return local_bits
+        ds = jnp.arange(d, dtype=shard_choice.dtype)
+        dev_bits = ((shard_choice[:, None] >> ds[None, :]) & 1).astype(jnp.int8)
+        return jnp.concatenate([local_bits, dev_bits], axis=1)
+
+    fn = shard_map(
+        body, mesh=mesh, in_specs=(P(AXIS), P()), out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(fn)(psi, key)

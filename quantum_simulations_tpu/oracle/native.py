@@ -51,3 +51,41 @@ def simulate(
         else:
             psi = dense_numpy.apply_gate(psi, qs, U).astype(dtype)
     return psi
+
+
+def prob_qubit(psi: np.ndarray, q: int) -> float:
+    """P(qubit q == 1) on the native kernels."""
+    return native.prob_qubit(psi, q)
+
+
+def measure_qubit(
+    psi: np.ndarray, q: int, rng: np.random.Generator | None = None,
+) -> tuple[int, np.ndarray]:
+    """Projective measurement of qubit q: (outcome, collapsed state).
+
+    Collapse + renormalization run in-place on the buffer (which is
+    modified!) via the native project kernel — parity with the
+    reference's state_vector measure path
+    (hisvsim_repo/state_vector.hpp:829-897).
+    """
+    rng = rng or np.random.default_rng()
+    p1 = native.prob_qubit(psi, q)
+    outcome = int(rng.random() < p1)
+    p = p1 if outcome else 1.0 - p1
+    if p <= 0.0:
+        raise ValueError(f"measurement outcome {outcome} has probability 0")
+    native.project_qubit(psi, q, outcome, 1.0 / np.sqrt(p))
+    return outcome, psi
+
+
+def measure_all(
+    psi: np.ndarray, n: int, rng: np.random.Generator | None = None,
+) -> str:
+    """Measure every qubit (in-place collapse); returns the bitstring
+    little-endian (character i = qubit i)."""
+    rng = rng or np.random.default_rng()
+    bits = []
+    for q in range(n):
+        outcome, psi = measure_qubit(psi, q, rng)
+        bits.append(str(outcome))
+    return "".join(bits)
