@@ -36,7 +36,10 @@ def main(argv=None) -> int:
     common.add_argument("--stripe-qubits", type=int, default=None)
     common.add_argument("--spill-backend", default="host",
                         choices=["host", "disk"])
-    common.add_argument("--sparse", action="store_true")
+    common.add_argument(
+        "--sparse", nargs="?", const=True, default=False,
+        choices=[True, "auto"], metavar="auto",
+        help="sparse tier; '--sparse auto' switches to dense adaptively")
     common.add_argument("--no-fusion", action="store_true")
     common.add_argument("--staging", action="store_true")
     common.add_argument("--work-dir", default=None)
@@ -104,7 +107,7 @@ def main(argv=None) -> int:
         return 0
 
     result = api_simulate(cd, cfg, work_dir=args.work_dir)
-    if args.sparse:
+    if hasattr(result, "top_amplitudes"):  # stayed sparse (incl. auto)
         print(json.dumps({
             "nonzero": len(result),
             "norm": result.norm(),

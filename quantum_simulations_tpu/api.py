@@ -43,6 +43,17 @@ def simulate(circuit_dict: dict, config: SimulatorConfig | None = None,
 
         setup_logging(getattr(logging, cfg.log_level.upper(), logging.INFO))
 
+    if cfg.sparse == "auto":
+        # Adaptive tier: sparse until the intermediate nnz profile says
+        # the state has densified, then the dense engine takes over.
+        from .sparse.adaptive import simulate_adaptive
+
+        res = simulate_adaptive(
+            cd, threshold=cfg.sparse_threshold, dtype=cfg.dtype,
+            mode=cfg.mode if cfg.mode in ("fused", "window") else "fused",
+        )
+        return res.state
+
     if cfg.sparse:
         from .sparse.engine import simulate_sparse
 
@@ -118,9 +129,11 @@ def sample(circuit_dict: dict, shots: int, *, seed: int = 0,
         return np.asarray(sampling.sample_bits_sharded(
             psi, jax.random.PRNGKey(seed), shots, n, mesh))
     psi = simulate(circuit_dict, cfg)
-    if cfg.sparse:
+    if hasattr(psi, "sample_bits"):
         # SparseState samples over its nnz support directly — no dense
-        # 2^n expansion (works at any n, e.g. 1000-qubit GHZ).
+        # 2^n expansion (works at any n, e.g. 1000-qubit GHZ).  An
+        # adaptive run that switched tiers returns a dense array and
+        # falls through to the dense sampler below.
         return psi.sample_bits(shots, n, seed=seed)
     import jax.numpy as jnp
 

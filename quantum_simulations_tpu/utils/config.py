@@ -34,8 +34,9 @@ class SimulatorConfig:
     stripe_qubits: int | None = None   # None = in-HBM
     spill_backend: str = "host"        # 'host' | 'disk'
 
-    # Sparse
-    sparse: bool = False
+    # Sparse: False | True | "auto" (adaptive sparse->dense switching
+    # driven by the intermediate-nnz profile)
+    sparse: bool | str = False
     sparse_threshold: float = 1e-15
 
     # Observability
