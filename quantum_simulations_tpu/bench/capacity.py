@@ -1,0 +1,112 @@
+"""Single-chip capacity tier: n >= 29 via in-place planar execution.
+
+The reference's in-RAM ceiling is n=28 (412 s complex128) and its
+out-of-core ceiling n=30 (631 s, 2x disk)
+(``wenbo_engine/docs/v3_comparison.md:45-62``).  On a 16 GiB chip the
+n=30 complex64 state is 8 GiB of f32 planes, so a second copy cannot
+exist: this bench runs the window schedule with ``inplace=True``
+(``input_output_aliases`` on every Pallas kernel) and planar i/o, and
+records the compiler's own memory analysis to prove the fit.
+
+Run: ``python -m quantum_simulations_tpu.bench.capacity [n ...]``.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+from . import setup_platform, warm_grant
+
+
+def _compile_with_retries(build, retries=3):
+    last = None
+    for i in range(retries):
+        try:
+            return build()
+        except Exception as e:  # transient remote-compile 500s
+            last = e
+            time.sleep(6 * (i + 1))
+    raise last
+
+
+def run(ns=(30,), reps: int = 3, retries: int = 3) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from ..circuit import library as lib
+    from ..ops import dense
+    from ..runtime import simulator
+
+    dev = setup_platform()
+    warm_grant()
+
+    rows = []
+    for n in ns:
+        configs = [
+            (f"ghz{n}", lib.ghz(n), True),
+            (f"nonstab{n}", lib.non_stabilizer(n, depth=4, seed=7), False),
+        ]
+        for tag, cd, check_amps in configs:
+            row = {"config": tag, "n": n, "gates": len(cd["gates"])}
+            P = jax.ShapeDtypeStruct((1 << n,), jnp.float32)
+            try:
+                t0 = time.time()
+                fn = simulator.build_window_circuit_fn(
+                    cd, dtype=jnp.complex64, planar_io=True, inplace=True,
+                    donate=True,
+                )
+                compiled = _compile_with_retries(
+                    lambda: fn.lower(P, P).compile(), retries)
+                row["compile_s"] = round(time.time() - t0, 1)
+                try:
+                    ma = compiled.memory_analysis()
+                    row["hbm_gib"] = round(
+                        (ma.argument_size_in_bytes + ma.temp_size_in_bytes
+                         + ma.output_size_in_bytes) / (1 << 30), 2)
+                    row["temp_gib"] = round(
+                        ma.temp_size_in_bytes / (1 << 30), 2)
+                except Exception:
+                    pass
+
+                norm2 = jax.jit(
+                    lambda re, im: jnp.sum(re * re) + jnp.sum(im * im)
+                ).lower(P, P).compile()
+                amp0 = jax.jit(lambda re: re[0]).lower(P).compile()
+                ampN = jax.jit(lambda re: re[(1 << n) - 1]).lower(P).compile()
+
+                init = jax.jit(
+                    lambda: dense.zero_state_planar(n)).lower().compile()
+                re, im = init()
+
+                re, im = compiled(re, im)  # warm + first application
+                if check_amps:
+                    inv = 1.0 / (2.0 ** 0.5)
+                    row["amp0_err"] = round(
+                        abs(float(jax.device_get(amp0(re))) - inv), 9)
+                    row["ampN_err"] = round(
+                        abs(float(jax.device_get(ampN(re))) - inv), 9)
+                float(jax.device_get(norm2(re, im)))
+
+                t0 = time.time()
+                norm = 0.0
+                for _ in range(reps):
+                    re, im = compiled(re, im)
+                    norm = float(jax.device_get(norm2(re, im)))
+                dt = (time.time() - t0) / reps
+                row.update({
+                    "steady_s": round(dt, 4),
+                    "amp_updates_per_s": round(
+                        len(cd["gates"]) * (1 << n) / dt, 1),
+                    "norm2": round(norm, 6),
+                })
+            except Exception as e:
+                row["error"] = f"{type(e).__name__}: {str(e)[:200]}"
+            rows.append(row)
+    return {"device": str(dev), "rows": rows}
+
+
+if __name__ == "__main__":
+    import sys
+
+    ns = tuple(int(a) for a in sys.argv[1:]) or (30,)
+    print(json.dumps(run(ns=ns), indent=1))

@@ -50,5 +50,92 @@ def run(n: int = 22, stripe_qubits: int = 18, dtype="complex64") -> dict:
             "device": str(dev), "rows": rows}
 
 
+def slice_run(n: int = 40, stripe_qubits: int = 26,
+              stripes_measured: int = 4, dtype="complex64") -> dict:
+    """Measured slice of a 40-qubit out-of-core run + full-run extrapolation.
+
+    A 40q complex64 state is 8 TiB (BASELINE config 5; reference
+    capacity model ``wenbo_engine/docs/architecture.md:410-427``) — far
+    beyond any single host, so this bench executes a representative
+    SLICE: the real compiled step programs of QFT-40 at the given
+    stripe width, timed over a few stripes (every stripe of a step runs
+    the identical program, so per-stripe throughput is exact), then
+    extrapolates the full-run wall clock from the total stripe-pass
+    count.  This is the honest version of a number nobody can measure
+    end to end — the reference itself stops at n=30.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..circuit import library as lib
+    from ..circuit.fusion import compile_steps
+    from ..runtime.simulator import apply_local_ops
+    from ..runtime.spill import _group_bits, _remap_ops
+
+    dev = setup_platform()
+    warm_grant()
+    m = stripe_qubits
+    cd = lib.qft(n)
+    steps = compile_steps(cd, k=m)
+    stripe_bytes = (1 << m) * np.dtype(dtype).itemsize
+
+    # Total stripe passes across the run (a group pass of 2^r stripes
+    # counts as 2^r): every step touches the full state once.
+    total_passes = len(steps) * (1 << (n - m))
+
+    rng = np.random.default_rng(0)
+    base = (rng.normal(size=1 << m) + 1j * rng.normal(size=1 << m))
+    base = (base / np.linalg.norm(base)).astype(dtype)
+
+    rows = []
+    for label, step in (("local", next(s for s in steps
+                                       if not s.nonlocal_ops)),
+                        ("nonlocal", next(s for s in steps
+                                          if s.nonlocal_ops))):
+        bits = _group_bits(step, m)
+        ops = _remap_ops(step, m, bits)
+        r = len(bits)
+        fn = jax.jit(lambda psi, ops=ops: apply_local_ops(psi, ops),
+                     donate_argnums=(0,))
+        group = np.concatenate([base] * (1 << r)) if r else base
+        # warm (compile)
+        np.asarray(fn(jnp.asarray(group, dtype=dtype)))
+        t0 = time.time()
+        for _ in range(stripes_measured):
+            out = np.asarray(fn(jnp.asarray(group, dtype=dtype)))
+        dt = (time.time() - t0) / stripes_measured
+        per_stripe = dt / (1 << r)
+        rows.append({
+            "step_kind": label,
+            "group_stripes": 1 << r,
+            "stripe_GB_s": round(stripe_bytes * 2 / per_stripe / 1e9, 2),
+            "per_stripe_s": round(per_stripe, 4),
+        })
+        del out
+
+    mean_stripe_s = sum(x["per_stripe_s"] for x in rows) / len(rows)
+    est_wall_s = mean_stripe_s * total_passes
+    return {
+        "n": n,
+        "stripe_qubits": m,
+        "state_TiB": round((1 << n) * np.dtype(dtype).itemsize / 2**40, 1),
+        "steps": len(steps),
+        "total_stripe_passes": total_passes,
+        "device": str(dev),
+        "measured": rows,
+        "est_full_run_s": round(est_wall_s, 1),
+        "est_full_run_h": round(est_wall_s / 3600, 2),
+        "note": ("extrapolated: per-stripe wall x total passes; storage "
+                 "tier (8 TiB) itself is the deployment constraint, cf. "
+                 "reference capacity model architecture.md:410-427"),
+    }
+
+
 if __name__ == "__main__":
-    print(json.dumps(run(), indent=1))
+    import sys
+
+    if len(sys.argv) > 1 and sys.argv[1] == "slice40":
+        print(json.dumps(slice_run(), indent=1))
+    else:
+        print(json.dumps(run(), indent=1))

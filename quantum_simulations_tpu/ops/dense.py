@@ -603,6 +603,17 @@ def zero_state(m: int, dtype=jnp.complex64) -> jnp.ndarray:
     return psi.at[0].set(1.0)
 
 
+def zero_state_planar(m: int, fdtype=jnp.float32):
+    """|0...0> as (re, im) f32 planes — no complex materialisation.
+
+    The capacity tier (n >= 29) must create the state planar: building
+    a complex64 vector first would cost 2x the plane footprint.
+    """
+    re = jnp.zeros(1 << m, dtype=fdtype).at[0].set(1.0)
+    im = jnp.zeros(1 << m, dtype=fdtype)
+    return re, im
+
+
 # ---------------------------------------------------------------------------
 # Planar (split re/im) gate application — the window executor's native form
 # ---------------------------------------------------------------------------

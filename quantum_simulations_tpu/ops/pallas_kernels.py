@@ -75,6 +75,7 @@ def panel_apply_planar(
     rotate: bool = False,
     block_rows: int = 1024,
     interpret: bool = False,
+    inplace: bool = False,
 ):
     """Apply a 2^w-wide fused panel to planar f32 state (flat arrays).
 
@@ -82,12 +83,20 @@ def panel_apply_planar(
     panel scheduler's stage transition) inside the same pass: the
     output tile is written transposed, so the flat result is already
     in rotated order.
+
+    ``inplace=True`` aliases the input planes to the output planes
+    (``input_output_aliases``) so the update costs ZERO extra HBM —
+    the n=30 single-chip enabler (2x 4 GiB planes + 2x out would blow
+    a 16 GiB chip).  Only valid without rotation (the transposed write
+    pattern would race the in-block reads).
     """
     wr, wi = _w_planes(W, re.dtype)
     dim = wr.shape[0]
     N = re.size
     R = N // dim
-    BR = _block_rows(R, block_rows)
+    # Wide panels (dim > 128, the lane-straddler path) must shrink the
+    # row block to keep 4 live blocks + the W planes inside scoped VMEM.
+    BR = _block_rows(R, min(block_rows, max(8, (1 << 17) // dim)))
     fdtype = re.dtype
 
     kern = functools.partial(_panel_kernel, rotate=rotate)
@@ -104,6 +113,7 @@ def panel_apply_planar(
         ]
         out_shape = [jax.ShapeDtypeStruct((R, dim), fdtype)] * 2
 
+    assert not (inplace and rotate), "in-place panel cannot rotate"
     ore, oim = pl.pallas_call(
         kern,
         grid=(R // BR,),
@@ -115,6 +125,7 @@ def panel_apply_planar(
         ],
         out_specs=out_specs,
         out_shape=out_shape,
+        input_output_aliases={0: 0, 1: 1} if inplace else {},
         interpret=interpret,
     )(re.reshape(R, dim), im.reshape(R, dim), wr, wi)
     return ore.reshape(N), oim.reshape(N)
@@ -143,6 +154,7 @@ def positioned_panel_planar(
     col_block: int = 512,
     batch_block: int = 8,
     interpret: bool = False,
+    inplace: bool = False,
 ):
     """Apply a 2^w-wide fused panel to bit window [pos, pos+w) — no rotation.
 
@@ -200,6 +212,7 @@ def positioned_panel_planar(
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[jax.ShapeDtypeStruct((A, dim, C), fdtype)] * 2,
+        input_output_aliases={0: 0, 1: 1} if inplace else {},
         interpret=interpret,
     )(re.reshape(A, dim, C), im.reshape(A, dim, C), wr, wi)
     return ore.reshape(N), oim.reshape(N)
@@ -320,6 +333,22 @@ def pair_update_supported(qa: int, qb: int, lane: int = 7) -> bool:
     return lo >= 13 or hi >= lo + 4  # column kernel needs B >= 8
 
 
+def _pair_row_inplace_kernel(re_ref, im_ref, ore_ref, oim_ref, *, C):
+    # The (1, 2, 1, 2, BR, Cc) block holds ALL FOUR bit planes, so every
+    # output write lands in the same grid step as its reads — aliasing
+    # the in/out buffers is hazard-free (unlike the j-stepped variant,
+    # which writes plane j while later steps still read it from HBM).
+    keys = [(0, 0), (0, 1), (1, 0), (1, 1)]
+    planes = [(re_ref[0, h, 0, l], im_ref[0, h, 0, l]) for h, l in keys]
+    shape = planes[0][0].shape
+    for ho, lo_ in keys:
+        ar, ai = _plane_lincomb(
+            [C[ho, lo_, h, l] for h, l in keys],
+            planes, shape, re_ref.dtype)
+        ore_ref[0, ho, 0, lo_] = ar
+        oim_ref[0, ho, 0, lo_] = ai
+
+
 def pair_update_planar(
     re: jnp.ndarray,
     im: jnp.ndarray,
@@ -328,11 +357,14 @@ def pair_update_planar(
     U: np.ndarray,
     *,
     interpret: bool = False,
+    inplace: bool = False,
 ):
     """Apply a 4x4 unitary to high qubit pair (qa, qb) on f32 planes.
 
     One HBM pass (read once, write once); requires
     :func:`pair_update_supported`.  U is big-endian (qa = MSB).
+    ``inplace`` aliases in->out planes (zero extra HBM; see
+    :func:`panel_apply_planar`).
     """
     hi, lo = max(qa, qb), min(qa, qb)
     assert pair_update_supported(qa, qb), (qa, qb)
@@ -356,8 +388,32 @@ def pair_update_planar(
             in_specs=[spec, spec],
             out_specs=[spec, spec],
             out_shape=[jax.ShapeDtypeStruct((A, 2, B, C2), fdtype)] * 2,
+            input_output_aliases={0: 0, 1: 1} if inplace else {},
             interpret=interpret,
         )(re.reshape(A, 2, B, C2), im.reshape(A, 2, B, C2))
+        return ore.reshape(N), oim.reshape(N)
+
+    if inplace:
+        c = min(lo - 3, 12)
+        Cc = 1 << c
+        BR = min(1 << (lo - c), max(8, (1 << 14) // Cc))
+        A = N >> (hi + 1)
+        Bp = 1 << (hi - lo - 1)
+        T = (1 << (lo - c)) // BR
+        view = (A, 2, Bp, 2, T * BR, Cc)
+        spec = pl.BlockSpec((1, 2, 1, 2, BR, Cc),
+                            lambda a, b, t: (a, 0, b, 0, t, 0),
+                            memory_space=pltpu.VMEM)
+        kern = functools.partial(_pair_row_inplace_kernel, C=C)
+        ore, oim = pl.pallas_call(
+            kern,
+            grid=(A, Bp, T),
+            in_specs=[spec, spec],
+            out_specs=[spec, spec],
+            out_shape=[jax.ShapeDtypeStruct(view, fdtype)] * 2,
+            input_output_aliases={0: 0, 1: 1},
+            interpret=interpret,
+        )(re.reshape(view), im.reshape(view))
         return ore.reshape(N), oim.reshape(N)
 
     # Row kernel: view (R, Cc); both gate bits are row-block index bits.
@@ -471,6 +527,7 @@ def mixed_pair_planar(
     U: np.ndarray,
     *,
     interpret: bool = False,
+    inplace: bool = False,
 ):
     """Apply a 4x4 unitary to (high, lane) qubit pair on f32 planes."""
     hi = max(qa, qb)
@@ -499,6 +556,7 @@ def mixed_pair_planar(
         in_specs=[spec, spec, lspec, lspec],
         out_specs=[spec, spec],
         out_shape=[jax.ShapeDtypeStruct((A, 2, B, 128), fdtype)] * 2,
+        input_output_aliases={0: 0, 1: 1} if inplace else {},
         interpret=interpret,
     )(re.reshape(A, 2, B, 128), im.reshape(A, 2, B, 128),
       jnp.asarray(Lr), jnp.asarray(Li))

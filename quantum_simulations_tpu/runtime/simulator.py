@@ -133,7 +133,7 @@ def apply_multiswap_planar(re, im, pairs):
     return re, im
 
 
-def apply_window_op(re, im, op, dtype, interpret):
+def apply_window_op(re, im, op, dtype, interpret, inplace=False):
     """Dispatch ONE window-schedule op on planar f32 planes.
 
     The single dispatch table for window execution — used by the
@@ -154,21 +154,35 @@ def apply_window_op(re, im, op, dtype, interpret):
 
     if isinstance(op, WindowPanelOp):
         if op.pos == 0:
-            return pk.panel_apply_planar(re, im, op.W, interpret=interpret)
+            return pk.panel_apply_planar(
+                re, im, op.W, interpret=interpret, inplace=inplace)
         return pk.positioned_panel_planar(
-            re, im, op.W, op.pos, interpret=interpret)
+            re, im, op.W, op.pos, interpret=interpret, inplace=inplace)
     if isinstance(op, MultiSwapOp):
         return apply_multiswap_planar(re, im, op.pairs)
     if len(op.qubits) == 2 and not G.is_diagonal(op.U):
         qa, qb = op.qubits
         is_swap = np.array_equal(
             np.asarray(op.U, np.complex128), dense._SWAP4)
-        if not is_swap and pk.pair_update_supported(qa, qb):
+        # At capacity (inplace mode) the pair kernel also takes SWAPs:
+        # the XLA transpose allocates a second copy of the plane.
+        if (not is_swap or inplace) and pk.pair_update_supported(qa, qb):
             return pk.pair_update_planar(
-                re, im, qa, qb, op.U, interpret=interpret)
+                re, im, qa, qb, op.U, interpret=interpret, inplace=inplace)
         if pk.mixed_pair_supported(qa, qb):
             return pk.mixed_pair_planar(
-                re, im, qa, qb, op.U, interpret=interpret)
+                re, im, qa, qb, op.U, interpret=interpret, inplace=inplace)
+        if max(qa, qb) <= 9 and min(qa, qb) < 7:
+            # (lane, 7..9) straddler: neither kernel's layout works
+            # (the high bit would make a sub-8 sublane axis, which HBM
+            # tiling pads 8x).  Run it as a WIDE pos-0 lane panel —
+            # 2^(hi+1)-dim MXU contraction, ~3-12 ms at n=26 vs 13-22
+            # for the complex mixed path, and it keeps the capacity
+            # tier's zero-extra-HBM guarantee (aliased panel kernel).
+            W = dense.expand_to_low_block(
+                (qa, qb), op.U, max(qa, qb) + 1)
+            return pk.panel_apply_planar(
+                re, im, W, interpret=interpret, inplace=inplace)
     planar = dense.apply_gate_planar(re, im, op.qubits, op.U)
     if planar is not None:
         return planar
@@ -183,6 +197,8 @@ def build_window_circuit_fn(
     window: int = 7,
     donate: bool = True,
     interpret: bool | None = None,
+    inplace: bool | None = None,
+    planar_io: bool = False,
 ):
     """jitted fn(psi)->psi in fixed-window planar-Pallas form.
 
@@ -195,6 +211,16 @@ def build_window_circuit_fn(
 
     ``interpret`` defaults to True off-TPU (Mosaic kernels need real
     hardware; interpret mode keeps tests runnable on CPU).
+
+    ``inplace`` (default: n >= 29) runs the Pallas kernels with
+    ``input_output_aliases`` so each pass updates the planes with ZERO
+    extra HBM — at n=30 the two f32 planes are 8 GiB and a 16 GiB chip
+    cannot hold a second copy.  ``planar_io=True`` makes the returned
+    fn take and return ``(re, im)`` f32 planes instead of a complex
+    vector — the complex<->planar conversion itself peaks at 2x state,
+    so the n=30 capacity tier must stay planar end to end (the TPU
+    analogue of the reference's n=30 out-of-core ceiling,
+    ``wenbo_engine/docs/v3_comparison.md:45-62``).
     """
     from ..circuit.panelize import (
         PhysGateOp, WindowPanelOp, compile_window_schedule,
@@ -205,25 +231,36 @@ def build_window_circuit_fn(
     n = cd["number_of_qubits"]
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if inplace is None:
+        inplace = n >= 29
     key = ("window", circuit_hash(cd), jnp.dtype(dtype).name, window,
-           donate, interpret)
+           donate, interpret, inplace, planar_io)
     cached = _COMPILE_CACHE.get(key)
     if cached is not None:
         return cached
 
     ops = compile_window_schedule(cd, window=window)
 
-    def fn(psi):
-        re, im = pk.to_planar(psi)
+    def body(re, im):
         for op in ops:
             # Panels ship as baked literals: composing them in-graph
             # from per-gate constants is NOT folded by XLA and ran
             # 4.4x slower at n=28.  Literal size stays small because
             # the scheduler emits minimal-width positioned panels.
-            re, im = apply_window_op(re, im, op, dtype, interpret)
-        return pk.from_planar(re, im, dtype)
+            re, im = apply_window_op(re, im, op, dtype, interpret, inplace)
+        return re, im
 
-    jitted = jax.jit(fn, donate_argnums=(0,) if donate else ())
+    if planar_io:
+        def fn(re, im):
+            return body(re, im)
+    else:
+        def fn(psi):
+            re, im = pk.to_planar(psi)
+            re, im = body(re, im)
+            return pk.from_planar(re, im, dtype)
+
+    donate_args = ((0, 1) if planar_io else (0,)) if donate else ()
+    jitted = jax.jit(fn, donate_argnums=donate_args)
     _COMPILE_CACHE[key] = jitted
     return jitted
 

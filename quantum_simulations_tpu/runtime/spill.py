@@ -79,15 +79,16 @@ def run_out_of_core(
     backend: str = "host",
     work_dir=None,
     dtype="complex64",
-    use_wal: bool = None,
+    use_wal: bool = True,
     use_fusion: bool = True,
     panel_width: int | None = 7,
 ) -> np.ndarray | Path:
     """Simulate with the state held outside HBM.
 
     backend='host': amplitudes in host DRAM (returns the final numpy
-    state).  backend='disk': chunk files under ``work_dir`` with WAL +
-    double buffer (returns the work dir; read with
+    state; ``use_wal`` is ignored — host buffers don't survive the
+    process anyway).  backend='disk': chunk files under ``work_dir``
+    with WAL + double buffer (returns the work dir; read with
     :func:`collect_state`).
     """
     cd = validate_circuit_dict(circuit_dict)
@@ -109,8 +110,6 @@ def run_out_of_core(
         work_dir = Path(work_dir)
         work_dir.mkdir(parents=True, exist_ok=True)
         plan = f"ooc,m={m},fusion={use_fusion},steps={len(steps)}"
-        if use_wal is None:
-            use_wal = True
         wal = WAL(work_dir / "wal.json", cd, plan=plan) if use_wal else None
         bufs = {}
         for name in ("a", "b"):
@@ -156,8 +155,15 @@ def run_out_of_core(
             if prev_out is not None:
                 _write_stripe(dst, prev_s, prev_out)
         else:
+            # Same depth-2 pipeline as the local path: group k+1's
+            # upload + device compute are dispatched (JAX async) before
+            # group k's result is drained to the host, so PCIe transfer
+            # and compute overlap across stripe groups too (the round-1
+            # version drained synchronously per group).
             group_masks = [1 << b for b in bits]
             free_bits = [b for b in range(n - m) if b not in bits]
+            L = src.stripe_len
+            prev = None
             for base_sel in range(1 << len(free_bits)):
                 base = 0
                 for t, b in enumerate(free_bits):
@@ -171,10 +177,18 @@ def run_out_of_core(
                             s |= group_masks[t]
                     members.append(s)
                 stacked = np.concatenate([src.read(s) for s in members])
-                out = np.asarray(fn(jnp.asarray(stacked, dtype=dtype)))
-                L = src.stripe_len
-                for j, s in enumerate(members):
-                    _write_stripe(dst, s, out[j * L:(j + 1) * L])
+                out = fn(jnp.asarray(stacked, dtype=dtype))
+                if prev is not None:
+                    p_members, p_out = prev
+                    p_host = np.asarray(p_out)
+                    for j, s in enumerate(p_members):
+                        _write_stripe(dst, s, p_host[j * L:(j + 1) * L])
+                prev = (members, out)
+            if prev is not None:
+                p_members, p_out = prev
+                p_host = np.asarray(p_out)
+                for j, s in enumerate(p_members):
+                    _write_stripe(dst, s, p_host[j * L:(j + 1) * L])
 
         if wal:
             dst.write_manifest()

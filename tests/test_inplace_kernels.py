@@ -1,0 +1,147 @@
+"""In-place (input_output_aliases) kernel variants + planar-io window fn.
+
+The n>=29 capacity tier runs every hot op with aliased in/out planes so
+the 8 GiB planar state never needs a second HBM copy (a 16 GiB chip
+cannot hold 2x).  These tests pin that the aliased variants are
+bit-identical to the out-of-place ones and that the planar-io window
+program matches the oracle.  TPU analogue of the reference's n=30
+out-of-core ceiling (``wenbo_engine/docs/v3_comparison.md:45-62``).
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from quantum_simulations_tpu.circuit import gates as G
+from quantum_simulations_tpu.circuit import library as lib
+from quantum_simulations_tpu.ops import dense
+from quantum_simulations_tpu.ops import pallas_kernels as pk
+from quantum_simulations_tpu.oracle import dense_numpy as oracle
+
+
+def _planes(n, seed=0):
+    rng = np.random.default_rng(seed)
+    re = rng.normal(size=1 << n).astype(np.float32)
+    im = rng.normal(size=1 << n).astype(np.float32)
+    return jnp.asarray(re), jnp.asarray(im)
+
+
+def _rand_u(dim, seed):
+    rng = np.random.default_rng(seed)
+    a = rng.normal(size=(dim, dim)) + 1j * rng.normal(size=(dim, dim))
+    q, _ = np.linalg.qr(a)
+    return q
+
+
+class TestInplaceParity:
+    def test_lane_panel(self):
+        re, im = _planes(16, 1)
+        W = _rand_u(128, 2)
+        a = pk.panel_apply_planar(re, im, W, interpret=True)
+        b = pk.panel_apply_planar(re, im, W, interpret=True, inplace=True)
+        np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+        np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+
+    def test_wide_lane_panel(self):
+        re, im = _planes(14, 3)
+        W = dense.expand_to_low_block((3, 8), _rand_u(4, 4), 9)
+        a = pk.panel_apply_planar(re, im, W, interpret=True)
+        b = pk.panel_apply_planar(re, im, W, interpret=True, inplace=True)
+        np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+
+    def test_positioned_panel(self):
+        re, im = _planes(17, 5)
+        W = _rand_u(8, 6)  # 3-qubit window at pos 8
+        a = pk.positioned_panel_planar(re, im, W, 8, interpret=True)
+        b = pk.positioned_panel_planar(
+            re, im, W, 8, interpret=True, inplace=True)
+        np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+        np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+
+    @pytest.mark.parametrize("qa,qb", [(8, 15), (15, 8), (9, 13)])
+    def test_pair_col(self, qa, qb):
+        re, im = _planes(17, 7)
+        U = _rand_u(4, 8)
+        a = pk.pair_update_planar(re, im, qa, qb, U, interpret=True)
+        b = pk.pair_update_planar(
+            re, im, qa, qb, U, interpret=True, inplace=True)
+        np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+        np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+
+    @pytest.mark.parametrize("qa,qb", [(13, 16), (16, 13), (14, 15)])
+    def test_pair_row_inplace_variant(self, qa, qb):
+        re, im = _planes(18, 9)
+        U = _rand_u(4, 10)
+        a = pk.pair_update_planar(re, im, qa, qb, U, interpret=True)
+        b = pk.pair_update_planar(
+            re, im, qa, qb, U, interpret=True, inplace=True)
+        np.testing.assert_allclose(
+            np.asarray(a[0]), np.asarray(b[0]), atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(a[1]), np.asarray(b[1]), atol=1e-6)
+
+    @pytest.mark.parametrize("qa,qb", [(3, 12), (12, 3)])
+    def test_mixed_pair(self, qa, qb):
+        re, im = _planes(14, 11)
+        U = _rand_u(4, 12)
+        a = pk.mixed_pair_planar(re, im, qa, qb, U, interpret=True)
+        b = pk.mixed_pair_planar(
+            re, im, qa, qb, U, interpret=True, inplace=True)
+        np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+        np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+
+
+class TestWideLaneStraddler:
+    """(lane, 7..9) 2q gates via the wide pos-0 panel dispatch."""
+
+    @pytest.mark.parametrize("qa,qb", [(6, 7), (5, 8), (0, 9), (9, 2)])
+    def test_matches_oracle(self, qa, qb):
+        from quantum_simulations_tpu.runtime import simulator
+
+        n = 11
+        cd = {"number_of_qubits": n, "gates": [
+            {"gate": "H", "qubits": [q], "params": {}} for q in range(n)
+        ] + [
+            {"gate": "T", "qubits": [qa], "params": {}},
+            {"gate": "CNOT", "qubits": [qa, qb], "params": {}},
+            {"gate": "SWAP", "qubits": [qa, qb], "params": {}},
+            {"gate": "CY", "qubits": [qb, qa], "params": {}},
+        ]}
+        want = oracle.simulate(cd)
+        got = np.asarray(simulator.simulate(
+            cd, dtype="complex128", mode="window"))
+        np.testing.assert_allclose(got, want, atol=1e-10)
+
+
+class TestPlanarIoWindowFn:
+    @pytest.mark.parametrize("fam,n", [("ghz", 12), ("qft", 10),
+                                       ("non_stabilizer", 12)])
+    def test_matches_oracle_inplace(self, fam, n):
+        from quantum_simulations_tpu.runtime import simulator
+
+        cd = getattr(lib, fam)(n)
+        want = oracle.simulate(cd)
+        fn = simulator.build_window_circuit_fn(
+            cd, dtype=jnp.complex64, planar_io=True, inplace=True,
+            donate=False,
+        )
+        re, im = dense.zero_state_planar(n)
+        ore, oim = fn(re, im)
+        got = np.asarray(ore) + 1j * np.asarray(oim)
+        assert float(np.max(np.abs(got - want))) < 2e-6
+
+    def test_planar_io_norm_and_amplitudes_ghz(self):
+        from quantum_simulations_tpu.runtime import simulator
+
+        n = 14
+        fn = simulator.build_window_circuit_fn(
+            lib.ghz(n), dtype=jnp.complex64, planar_io=True, inplace=True,
+            donate=True,
+        )
+        re, im = dense.zero_state_planar(n)
+        re, im = fn(re, im)
+        norm2 = float(jnp.sum(re * re) + jnp.sum(im * im))
+        assert abs(norm2 - 1.0) < 1e-5
+        assert abs(float(re[0]) - 1 / np.sqrt(2)) < 1e-6
+        assert abs(float(re[-1]) - 1 / np.sqrt(2)) < 1e-6

@@ -106,3 +106,51 @@ def test_host_buffer_views():
     assert buf.n_stripes == 4
     buf.write(1, np.full(4, 2.0, dtype=np.complex128))
     assert buf.to_array()[4:8].sum() == 8.0
+
+
+def test_disk_crash_recovery_nonlocal_path(tmp_path):
+    """Crash INSIDE a non-local stripe-group write, then recover.
+
+    GHZ-6 at m=3 with fusion off: steps 4+ apply CNOTs on qubits >= 3,
+    driving the pipelined stripe-GROUP path; crashing after 28 stripe
+    writes lands mid-way through a non-local step (8 writes/step), so
+    recovery must discard the partially-written dst buffer.
+    """
+    cd = lib.ghz(6)
+    script = textwrap.dedent(f"""
+        import os, sys, json
+        sys.path.insert(0, {str(REPO)!r})
+        os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        from quantum_simulations_tpu.runtime import spill
+        cd = json.loads('''{json.dumps(cd)}''')
+        spill.run_out_of_core(cd, stripe_qubits=3, backend="disk",
+                              work_dir={str(tmp_path)!r}, use_fusion=False)
+        print("COMPLETED")
+    """)
+    env = dict(os.environ)
+    env[spill.CRASH_ENV] = "28"
+    res = subprocess.run([sys.executable, "-c", script],
+                         capture_output=True, text=True, env=env)
+    assert res.returncode == 1, res.stderr
+    wal = json.loads((tmp_path / "wal.json").read_text())
+    assert wal["done_steps"] < 6  # crash really interrupted the run
+    env.pop(spill.CRASH_ENV)
+    res = subprocess.run([sys.executable, "-c", script],
+                         capture_output=True, text=True, env=env)
+    assert res.returncode == 0, res.stderr
+    got = spill.collect_state(tmp_path)
+    np.testing.assert_allclose(got, oracle.simulate(cd), atol=2e-5)
+
+
+def test_slice_bench_smoke():
+    """slice_run's extrapolation machinery on a tiny configuration."""
+    os.environ.setdefault("QST_BENCH_PLATFORM", "cpu")
+    from quantum_simulations_tpu.bench.spill_bw import slice_run
+
+    out = slice_run(n=14, stripe_qubits=10, stripes_measured=2)
+    kinds = {r["step_kind"] for r in out["measured"]}
+    assert kinds == {"local", "nonlocal"}
+    assert out["total_stripe_passes"] == out["steps"] * (1 << 4)
+    assert out["est_full_run_s"] > 0
