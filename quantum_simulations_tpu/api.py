@@ -65,7 +65,8 @@ def simulate(circuit_dict: dict, config: SimulatorConfig | None = None,
         out = spill.run_out_of_core(
             cd, stripe_qubits=cfg.stripe_qubits, backend=cfg.spill_backend,
             work_dir=work_dir, dtype=cfg.dtype, use_fusion=cfg.use_fusion,
-            panel_width=cfg.panel_width,
+            panel_width=cfg.panel_width, use_staging=cfg.use_staging,
+            staging_method=cfg.staging_method,
         )
         if cfg.spill_backend == "disk":
             return spill.collect_state(out)

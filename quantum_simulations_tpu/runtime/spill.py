@@ -82,6 +82,8 @@ def run_out_of_core(
     use_wal: bool = True,
     use_fusion: bool = True,
     panel_width: int | None = 7,
+    use_staging: bool = False,
+    staging_method: str = "auto",
 ) -> np.ndarray | Path:
     """Simulate with the state held outside HBM.
 
@@ -90,10 +92,33 @@ def run_out_of_core(
     process anyway).  backend='disk': chunk files under ``work_dir``
     with WAL + double buffer (returns the work dir; read with
     :func:`collect_state`).
+
+    ``use_staging`` remaps qubits so hot qubits stay stripe-local,
+    trading SWAP passes for fewer stripe-GROUP steps — the reference's
+    primary use of Atlas staging (out-of-core I/O reduction,
+    ``wenbo_engine/runner/single_node.py:109-121``).  Host-backend
+    results are un-permuted before returning; disk runs record
+    ``qubit_mapping.json`` applied by :func:`collect_state`.
     """
     cd = validate_circuit_dict(circuit_dict)
     n = cd["number_of_qubits"]
     m = min(stripe_qubits, n)
+
+    log2phys = None
+    if use_staging and m < n:
+        from ..circuit import staging as S
+
+        method = staging_method
+        if method == "auto":
+            stats = S.staging_stats(cd, m, "heuristic")
+            method = ("heuristic"
+                      if stats["exchanges_staged"] < stats["exchanges_unstaged"]
+                      else None)
+        if method:
+            cd, log2phys, _ = S.stage_circuit(cd, m, method)
+            if log2phys == list(range(n)):
+                log2phys = None
+
     steps = compile_steps(cd, k=m, use_fusion=use_fusion, panel_width=panel_width)
     cache = _FnCache()
     crash_after = int(os.environ.get(CRASH_ENV, "-1"))
@@ -197,15 +222,33 @@ def run_out_of_core(
         src, dst = dst, src
 
     if backend == "host":
-        return src.to_array()  # src/dst swapped after last step
+        out = src.to_array()  # src/dst swapped after last step
+        if log2phys is not None:
+            from ..circuit.staging import permute_state
+
+            out = permute_state(out, log2phys)
+        return out
+    if log2phys is not None:
+        from .wal import atomic_write_json
+
+        atomic_write_json(work_dir / "qubit_mapping.json",
+                          {"log2phys": log2phys})
     return work_dir
 
 
-def collect_state(work_dir) -> np.ndarray:
-    """Final state of a finished disk-backed run."""
+def collect_state(work_dir, *, apply_permutation: bool = True) -> np.ndarray:
+    """Final state of a finished disk-backed run (un-permutes staging)."""
     import json
 
     work_dir = Path(work_dir)
     rec = json.loads((work_dir / "wal.json").read_text())
     buf = rec["committed_buf"] or "a"
-    return DiskBuffer.open(work_dir / f"buf_{buf}").to_array()
+    psi = DiskBuffer.open(work_dir / f"buf_{buf}").to_array()
+    mapping_path = work_dir / "qubit_mapping.json"
+    if apply_permutation and mapping_path.exists():
+        l2p = json.loads(mapping_path.read_text()).get("log2phys")
+        if l2p:
+            from ..circuit.staging import permute_state
+
+            psi = permute_state(psi, l2p)
+    return psi

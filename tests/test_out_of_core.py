@@ -154,3 +154,54 @@ def test_slice_bench_smoke():
     assert kinds == {"local", "nonlocal"}
     assert out["total_stripe_passes"] == out["steps"] * (1 << 4)
     assert out["est_full_run_s"] > 0
+
+
+class TestStagedSpill:
+    """Atlas staging on the out-of-core tier — the reference's primary
+    staging use case (fewer non-local stripe-group passes,
+    wenbo_engine/runner/single_node.py:109-121)."""
+
+    def test_host_staged_matches_oracle(self):
+        from quantum_simulations_tpu.runtime import spill
+
+        cd = lib.qft(9)
+        want = oracle.simulate(cd)
+        got = spill.run_out_of_core(
+            cd, stripe_qubits=5, backend="host", dtype="complex128",
+            use_staging=True, staging_method="heuristic")
+        np.testing.assert_allclose(got, want, atol=1e-10)
+
+    def test_disk_staged_matches_oracle_and_records_mapping(self, tmp_path):
+        from quantum_simulations_tpu.runtime import spill
+
+        cd = lib.qft(8)
+        want = oracle.simulate(cd)
+        out = spill.run_out_of_core(
+            cd, stripe_qubits=4, backend="disk", work_dir=tmp_path,
+            dtype="complex128", use_staging=True,
+            staging_method="heuristic")
+        got = spill.collect_state(out)
+        np.testing.assert_allclose(got, want, atol=1e-10)
+
+    def test_staging_reduces_group_steps(self):
+        """QFT's all-to-all CR ladder: staging must cut non-local steps."""
+        from quantum_simulations_tpu.circuit import staging as S
+        from quantum_simulations_tpu.circuit.fusion import compile_steps
+
+        cd = lib.qft(10)
+        m = 5
+        plain = sum(1 for s in compile_steps(cd, k=m) if s.nonlocal_ops)
+        staged_cd, _, _ = S.stage_circuit(cd, m, "heuristic")
+        staged = sum(
+            1 for s in compile_steps(staged_cd, k=m) if s.nonlocal_ops)
+        assert staged < plain, (staged, plain)
+
+    def test_api_route_staged_spill(self):
+        from quantum_simulations_tpu.api import simulate
+        from quantum_simulations_tpu.utils.config import SimulatorConfig
+
+        cd = lib.ghz(8)
+        got = simulate(cd, SimulatorConfig(
+            stripe_qubits=4, dtype="complex128", use_staging=True))
+        want = oracle.simulate(cd)
+        np.testing.assert_allclose(got, want, atol=1e-10)
