@@ -149,5 +149,19 @@ def expectation_z(circuit_dict: dict, qubits: list[int],
 
     from .ops import sampling
 
-    psi = simulate(circuit_dict, config)
+    cfg = config or SimulatorConfig()
+    n = validate_circuit_dict(circuit_dict)["number_of_qubits"]
+    if (cfg.n_devices or 1) > 1 and not cfg.sparse and cfg.stripe_qubits is None:
+        # Stay on the mesh: per-shard partial sums + psum, no gather.
+        from .parallel import executor as E
+        from .parallel import mesh as M
+
+        mesh = M.make_mesh(cfg.n_devices)
+        psi = E.simulate_sharded(
+            mesh, circuit_dict, dtype=cfg.dtype, use_fusion=cfg.use_fusion,
+            panel_width=cfg.panel_width,
+            mode="window" if cfg.mode == "window" else "fused",
+        )
+        return float(sampling.expectation_z_sharded(psi, qubits, n, mesh))
+    psi = simulate(circuit_dict, cfg)
     return float(sampling.expectation_z(jnp.asarray(psi), qubits))

@@ -26,6 +26,17 @@ def setup_platform():
     plat = os.environ.get("QST_BENCH_PLATFORM")
     if plat:
         jax.config.update("jax_platforms", plat)
+    # Persistent compilation cache: cold remote compiles through the
+    # axon tunnel can take tens of minutes for deep circuits — a killed
+    # or timed-out bench must not lose that work.
+    cache_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
     return jax.devices()[0]
 
 

@@ -17,7 +17,8 @@ import time
 from . import setup_platform, warm_grant
 
 
-def run(reps: int = 4, retries: int = 3) -> dict:
+def run(reps: int = 4, retries: int = 3, only: tuple = (),
+        stream: bool = False) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -34,6 +35,8 @@ def run(reps: int = 4, retries: int = 3) -> dict:
         ("qaoa26_p2", lib.qaoa_maxcut(26, p=2)),
         ("nonstab28", lib.non_stabilizer(28, depth=4, seed=7)),
     ]
+    if only:
+        configs = [c for c in configs if c[0] in only]
     rows = []
     for tag, cd in configs:
         n = cd["number_of_qubits"]
@@ -78,8 +81,14 @@ def run(reps: int = 4, retries: int = 3) -> dict:
         except Exception as e:
             row["error"] = f"{type(e).__name__}: {str(e)[:120]}"
         rows.append(row)
+        if stream:  # one JSON line per finished config (timeout-safe)
+            print(json.dumps(row), flush=True)
     return {"device": str(dev), "rows": rows}
 
 
 if __name__ == "__main__":
-    print(json.dumps(run(), indent=1))
+    import sys
+
+    only = tuple(a for a in sys.argv[1:])
+    out = run(only=only, stream=True)
+    print(json.dumps(out, indent=1))

@@ -107,6 +107,118 @@ def fidelity(a: jax.Array, b: jax.Array) -> jax.Array:
     return jnp.abs(jnp.vdot(a, b))
 
 
+def _shard_ctx(mesh, n):
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import AXIS, shard_width
+
+    k = shard_width(mesh, n)
+    return AXIS, k, P
+
+
+def expectation_z_sharded(psi: jax.Array, qubits: list[int], n: int,
+                          mesh) -> jax.Array:
+    """<Z...Z> on a MESH-SHARDED state — per-shard partial sums + psum.
+
+    Device bits (qubits >= k) contribute a constant sign per shard
+    (parity of the shard index against the high half of the mask);
+    local bits reduce within the shard.  No gather of the 2^n vector.
+    """
+    from jax import lax, shard_map
+
+    AXIS, k, P = _shard_ctx(mesh, n)
+    lo_mask = 0
+    hi_mask = 0
+    for q in qubits:
+        if q < k:
+            lo_mask |= 1 << q
+        else:
+            hi_mask |= 1 << (q - k)
+
+    def body(shard):
+        shard = shard.reshape(-1)
+        signs = 1.0 - 2.0 * _bit_parity(shard.size, lo_mask).astype(
+            jnp.float32)
+        part = jnp.sum(probabilities(shard) * signs)
+        if hi_mask:
+            i = lax.axis_index(AXIS).astype(jnp.uint32)
+            hi_par = _parity_fold(i & jnp.uint32(hi_mask)).astype(jnp.float32)
+            part = part * (1.0 - 2.0 * hi_par)
+        return lax.psum(part, AXIS)
+
+    return jax.jit(shard_map(
+        body, mesh=mesh, in_specs=P(AXIS), out_specs=P(),
+        check_vma=False))(psi)
+
+
+def qubit_probability_sharded(psi: jax.Array, q: int, n: int,
+                              mesh) -> jax.Array:
+    """P(qubit q = 1) on a mesh-sharded state (psum reduction)."""
+    from jax import lax, shard_map
+
+    AXIS, k, P = _shard_ctx(mesh, n)
+
+    def body(shard):
+        shard = shard.reshape(-1)
+        p = probabilities(shard)
+        if q < k:
+            part = jnp.sum(
+                p.reshape(1 << (k - q - 1), 2, 1 << q)[:, 1, :])
+        else:
+            i = lax.axis_index(AXIS)
+            mine = ((i >> (q - k)) & 1).astype(jnp.float32)
+            part = jnp.sum(p) * mine
+        return lax.psum(part, AXIS)
+
+    return jax.jit(shard_map(
+        body, mesh=mesh, in_specs=P(AXIS), out_specs=P(),
+        check_vma=False))(psi)
+
+
+def project_sharded(psi: jax.Array, q: int, value: int, n: int, mesh,
+                    *, renormalize: bool = True) -> jax.Array:
+    """Collapse qubit q onto |value> on the mesh (stays sharded).
+
+    Local qubits zero the discarded half inside each shard; DEVICE
+    qubits zero whole shards (the cross-shard analogue of the
+    reference's strided project, ``state_vector.hpp:829-897``).
+    """
+    from jax import lax, shard_map
+
+    AXIS, k, P = _shard_ctx(mesh, n)
+
+    def body(shard):
+        shard = shard.reshape(-1)
+        if q < k:
+            x = shard.reshape(1 << (k - q - 1), 2, 1 << q)
+            keepmask = jnp.zeros((1, 2, 1), shard.dtype).at[0, value, 0].set(1)
+            out = (x * keepmask).reshape(shard.size)
+        else:
+            i = lax.axis_index(AXIS)
+            mine = (((i >> (q - k)) & 1) == value)
+            out = jnp.where(mine, shard, jnp.zeros_like(shard))
+        if renormalize:
+            n2 = lax.psum(jnp.sum(probabilities(out)), AXIS)
+            out = out / jnp.sqrt(n2).astype(out.dtype)
+        return out
+
+    return jax.jit(shard_map(
+        body, mesh=mesh, in_specs=P(AXIS), out_specs=P(AXIS),
+        check_vma=False))(psi)
+
+
+def measure_qubit_sharded(psi: jax.Array, q: int, key: jax.Array, n: int,
+                          mesh):
+    """Projective measurement on the mesh; (outcome, collapsed state).
+
+    Every device draws from the SAME key, so the outcome is identical
+    across shards without a broadcast.
+    """
+    p1 = qubit_probability_sharded(psi, q, n, mesh)
+    outcome = int(jax.random.bernoulli(key, float(p1)))
+    return outcome, project_sharded(psi, q, outcome, n, mesh)
+
+
 def sample_bits_sharded(psi: jax.Array, key: jax.Array, shots: int, n: int,
                         mesh) -> jax.Array:
     """Bitstring sampling from a MESH-SHARDED state, fully SPMD.

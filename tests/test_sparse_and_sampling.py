@@ -264,3 +264,88 @@ class TestShardedSampling:
         # Bell pair between qubits 0 and 9: always equal
         assert (bits[:, 0] == bits[:, 9]).all()
         assert (bits[:, 1:9] == 0).all()
+
+
+class TestShardedMeasurement:
+    """SPMD measurement/projection/expectation on the 8-device mesh
+    (cross-shard analogue of state_vector.hpp:829-897)."""
+
+    def _psi(self, cd):
+        from quantum_simulations_tpu.parallel import executor as E
+        from quantum_simulations_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(8)
+        return mesh, E.simulate_sharded(mesh, cd, dtype="complex128")
+
+    def test_expectation_z_matches_dense(self):
+        import jax.numpy as jnp
+        from quantum_simulations_tpu.circuit import library as lib
+        from quantum_simulations_tpu.ops import sampling as S
+        from quantum_simulations_tpu.parallel import executor as E
+
+        cd = lib.qft(11)
+        mesh, psi = self._psi(cd)
+        dense = jnp.asarray(E.collect_state(psi))
+        for qs in ([0], [10], [0, 10], [3, 9, 10], [8, 9]):
+            want = float(S.expectation_z(dense, qs))
+            got = float(S.expectation_z_sharded(psi, qs, 11, mesh))
+            assert abs(got - want) < 1e-10, (qs, got, want)
+
+    def test_qubit_probability_local_and_device_bits(self):
+        import jax.numpy as jnp
+        from quantum_simulations_tpu.circuit import library as lib
+        from quantum_simulations_tpu.ops import sampling as S
+        from quantum_simulations_tpu.parallel import executor as E
+
+        cd = lib.w_state(11)
+        mesh, psi = self._psi(cd)
+        dense = jnp.asarray(E.collect_state(psi))
+        for q in (0, 5, 8, 9, 10):  # 8-10 are device bits
+            want = float(S.qubit_probability(dense, q))
+            got = float(S.qubit_probability_sharded(psi, q, 11, mesh))
+            assert abs(got - want) < 1e-10, q
+
+    def test_project_device_bit_matches_dense(self):
+        import numpy as np
+        import jax.numpy as jnp
+        from quantum_simulations_tpu.circuit import library as lib
+        from quantum_simulations_tpu.ops import sampling as S
+        from quantum_simulations_tpu.parallel import executor as E
+
+        cd = lib.qft(10)
+        mesh, psi = self._psi(cd)
+        dense = jnp.asarray(E.collect_state(psi))
+        for q, v in ((9, 1), (8, 0), (2, 1)):
+            want = np.asarray(S.project(dense, q, v))
+            got = np.asarray(E.collect_state(
+                S.project_sharded(psi, q, v, 10, mesh)))
+            np.testing.assert_allclose(got, want, atol=1e-10)
+
+    def test_measure_ghz_collapses_globally(self):
+        import jax
+        import numpy as np
+        from quantum_simulations_tpu.circuit import library as lib
+        from quantum_simulations_tpu.ops import sampling as S
+        from quantum_simulations_tpu.parallel import executor as E
+
+        cd = lib.ghz(11)
+        mesh, psi = self._psi(cd)
+        outcome, collapsed = S.measure_qubit_sharded(
+            psi, 9, jax.random.PRNGKey(5), 11, mesh)
+        dense = np.asarray(E.collect_state(collapsed))
+        # GHZ: measuring one qubit collapses ALL qubits to that value
+        want_idx = ((1 << 11) - 1) if outcome else 0
+        assert abs(abs(dense[want_idx]) - 1.0) < 1e-10
+        assert np.count_nonzero(np.abs(dense) > 1e-12) == 1
+
+    def test_api_expectation_z_sharded_route(self):
+        from quantum_simulations_tpu.api import expectation_z
+        from quantum_simulations_tpu.circuit import library as lib
+        from quantum_simulations_tpu.utils.config import SimulatorConfig
+
+        # GHZ: <Z_i Z_j> = 1, <Z_i> = 0
+        cd = lib.ghz(10)
+        zz = expectation_z(cd, [0, 9], SimulatorConfig(n_devices=8))
+        z = expectation_z(cd, [4], SimulatorConfig(n_devices=8))
+        assert abs(zz - 1.0) < 1e-6
+        assert abs(z) < 1e-6
