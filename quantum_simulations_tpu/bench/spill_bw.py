@@ -50,6 +50,35 @@ def run(n: int = 22, stripe_qubits: int = 18, dtype="complex64") -> dict:
             "device": str(dev), "rows": rows}
 
 
+def overlap(n: int = 20, stripe_qubits: int = 16, dtype="complex64") -> dict:
+    """Pipelined vs synchronous spill: the I/O<->compute overlap win.
+
+    The reference measures its reader/worker/writer pipeline against
+    the single-threaded runner (``wenbo_engine/runner/pipeline.py``);
+    this is the async-dispatch equivalent.
+    """
+    import numpy as np
+
+    from ..circuit import library as lib
+    from ..runtime import spill
+
+    dev = setup_platform()
+    warm_grant()
+    cd = lib.non_stabilizer(n, depth=2, seed=3)
+    out = {}
+    for label, pipe in (("pipelined", True), ("synchronous", False)):
+        t0 = time.time()
+        st = spill.run_out_of_core(cd, stripe_qubits=stripe_qubits,
+                                   backend="host", dtype=dtype,
+                                   pipeline=pipe)
+        out[label] = {"wall_s": round(time.time() - t0, 3),
+                      "norm": float(np.vdot(st, st).real)}
+    out["overlap_speedup"] = round(
+        out["synchronous"]["wall_s"] / out["pipelined"]["wall_s"], 2)
+    out["device"] = str(dev)
+    return out
+
+
 def slice_run(n: int = 40, stripe_qubits: int = 26,
               stripes_measured: int = 4, dtype="complex64") -> dict:
     """Measured slice of a 40-qubit out-of-core run + full-run extrapolation.
@@ -137,5 +166,7 @@ if __name__ == "__main__":
 
     if len(sys.argv) > 1 and sys.argv[1] == "slice40":
         print(json.dumps(slice_run(), indent=1))
+    elif len(sys.argv) > 1 and sys.argv[1] == "overlap":
+        print(json.dumps(overlap(), indent=1))
     else:
         print(json.dumps(run(), indent=1))

@@ -84,6 +84,7 @@ def run_out_of_core(
     panel_width: int | None = 7,
     use_staging: bool = False,
     staging_method: str = "auto",
+    pipeline: bool = True,
 ) -> np.ndarray | Path:
     """Simulate with the state held outside HBM.
 
@@ -170,15 +171,22 @@ def run_out_of_core(
             # drained to host, so transfer/compute/write overlap (the
             # reference does this with reader/worker/writer threads,
             # wenbo_engine/runner/pipeline.py; JAX's async dispatch gives
-            # it without threads).
-            prev_s, prev_out = None, None
-            for s in range(src.n_stripes):
-                out = fn(jnp.asarray(src.read(s), dtype=dtype))
+            # it without threads).  ``pipeline=False`` drains each stripe
+            # synchronously — kept for the overlap benchmark
+            # (bench/spill_bw.overlap) and debugging.
+            if not pipeline:
+                for s in range(src.n_stripes):
+                    out = fn(jnp.asarray(src.read(s), dtype=dtype))
+                    _write_stripe(dst, s, np.asarray(out))
+            else:
+                prev_s, prev_out = None, None
+                for s in range(src.n_stripes):
+                    out = fn(jnp.asarray(src.read(s), dtype=dtype))
+                    if prev_out is not None:
+                        _write_stripe(dst, prev_s, prev_out)
+                    prev_s, prev_out = s, out
                 if prev_out is not None:
                     _write_stripe(dst, prev_s, prev_out)
-                prev_s, prev_out = s, out
-            if prev_out is not None:
-                _write_stripe(dst, prev_s, prev_out)
         else:
             # Same depth-2 pipeline as the local path: group k+1's
             # upload + device compute are dispatched (JAX async) before
@@ -203,6 +211,11 @@ def run_out_of_core(
                     members.append(s)
                 stacked = np.concatenate([src.read(s) for s in members])
                 out = fn(jnp.asarray(stacked, dtype=dtype))
+                if not pipeline:
+                    p_host = np.asarray(out)
+                    for j, s in enumerate(members):
+                        _write_stripe(dst, s, p_host[j * L:(j + 1) * L])
+                    continue
                 if prev is not None:
                     p_members, p_out = prev
                     p_host = np.asarray(p_out)

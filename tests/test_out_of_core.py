@@ -205,3 +205,31 @@ class TestStagedSpill:
             stripe_qubits=4, dtype="complex128", use_staging=True))
         want = oracle.simulate(cd)
         np.testing.assert_allclose(got, want, atol=1e-10)
+
+
+def test_spill_sync_mode_matches_pipelined():
+    from quantum_simulations_tpu.runtime import spill
+
+    cd = lib.qft(8)
+    want = oracle.simulate(cd)
+    for pipe in (True, False):
+        got = spill.run_out_of_core(cd, stripe_qubits=5, backend="host",
+                                    dtype="complex128", pipeline=pipe)
+        np.testing.assert_allclose(got, want, atol=1e-10)
+
+
+def test_api_full_stack_devices_workdir_staging(tmp_path):
+    """n_devices>1 + work_dir (WAL runner) + staging TOGETHER."""
+    from quantum_simulations_tpu.api import simulate
+    from quantum_simulations_tpu.utils.config import SimulatorConfig
+
+    cd = lib.qft(10)
+    want = oracle.simulate(cd)
+    cfg = SimulatorConfig(n_devices=8, dtype="complex128",
+                          use_staging=True, staging_method="heuristic",
+                          use_wal=True, checkpoint_every=1)
+    got = simulate(cd, cfg, work_dir=tmp_path / "run")
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-10)
+    # resume over the finished run is a no-op that returns the same state
+    got2 = simulate(cd, cfg, work_dir=tmp_path / "run")
+    np.testing.assert_allclose(np.asarray(got2), want, atol=1e-10)
