@@ -23,13 +23,17 @@ FETCH_LATENCY_S = 0.044
 
 
 def _class_key(op) -> str:
-    from ..circuit.panelize import MultiSwapOp, PhysGateOp, WindowPanelOp
+    from ..circuit.panelize import (
+        DiagOp, MultiSwapOp, PhysGateOp, WindowPanelOp,
+    )
     from ..circuit import gates as G
 
     if isinstance(op, WindowPanelOp):
         return f"panel@{op.pos}"
     if isinstance(op, MultiSwapOp):
         return f"multiswap{len(op.pairs)}"
+    if isinstance(op, DiagOp):
+        return f"diag{len(op.qubits)}"
     assert isinstance(op, PhysGateOp)
     if G.is_diagonal(op.U):
         return f"diag{len(op.qubits)}"

@@ -60,6 +60,20 @@ class PhysGateOp:
     name: str = "?"
 
 
+@dataclass(frozen=True)
+class DiagOp:
+    """A diagonal operator held as its 2^m phase VECTOR.
+
+    Merged diagonal runs reach m=13; the full matrix would be a 67M-
+    entry literal scanned by every trace-time structure check — the
+    vector form keeps scheduling, tracing, and the broadcast-multiply
+    executor all O(2^m).
+    """
+    qubits: tuple[int, ...]
+    d: np.ndarray
+    name: str = "fused-diag"
+
+
 def compile_panel_schedule(
     circuit_dict: dict,
     *,
@@ -419,7 +433,13 @@ def _merge_diag_runs(ops: list, max_qubits: int = DIAG_MERGE_MAX_QUBITS) -> list
                     bit = (idx >> (m - 1 - pos_of[q])) & 1
                     sub |= bit << (mg - 1 - j)
                 d *= np.diag(g.U)[sub]
-            out.append(PhysGateOp(qubits, np.diag(d), "fused-diag"))
+            # Keep the 2^m VECTOR, never the 2^m x 2^m matrix: at the
+            # m=13 merge cap np.diag(d) is a 67M-entry (1 GiB) literal
+            # that every trace-time structure check then re-scans —
+            # measured 14 MINUTES of lowering for QFT-26 (and the
+            # arity-13 ops additionally fell past apply_gate_planar's
+            # m<=12 diag branch into the complex fallback).
+            out.append(DiagOp(qubits, d))
 
     for op in ops:
         if (
@@ -499,6 +519,7 @@ def window_stats(circuit_dict: dict, *, window: int = PANEL_W) -> dict:
     return {
         "panels": sum(1 for o in ops if isinstance(o, WindowPanelOp)),
         "generic_gates": sum(1 for o in ops if isinstance(o, PhysGateOp)),
+        "diag_ops": sum(1 for o in ops if isinstance(o, DiagOp)),
         "multiswaps": sum(1 for o in ops if isinstance(o, MultiSwapOp)),
         "gates": len(circuit_dict["gates"]),
         "hbm_passes": len(ops),

@@ -744,10 +744,35 @@ def apply_gate_planar(re, im, qubits: tuple[int, ...], U: np.ndarray,
     return None  # mixed path: caller converts to complex
 
 
+def apply_diag_planar(re, im, qubits: tuple[int, ...], d: np.ndarray,
+                      *, lane_bits: int | None = None):
+    """Diagonal operator (given as its 2^m phase VECTOR) on f32 planes.
+
+    The broadcast-multiply path of :func:`apply_gate_planar` without
+    the m<=12 matrix checks — any m the view rank allows (merged runs
+    go to 13).  Everything is elementwise, so consecutive diagonals
+    fuse into shared HBM passes under XLA.
+    """
+    lane = _lane_width(re.size, lane_bits)
+    Pr, Pi, view_shape = _diag_bcast_planes(
+        re.size, tuple(qubits), d, lane, np.dtype(re.dtype))
+    xr = re.reshape(view_shape)
+    xi = im.reshape(view_shape)
+    o_re = xr * Pr - (xi * Pi if Pi is not None else 0)
+    o_im = (xr * Pi if Pi is not None else 0) + xi * Pr
+    return o_re.reshape(re.size), o_im.reshape(im.size)
+
+
 def _diag_bcast_planes(size, qubits, U, lane, fdtype):
-    """(Pr, Pi, view_shape) constants for a planar diagonal broadcast."""
+    """(Pr, Pi, view_shape) constants for a planar diagonal broadcast.
+
+    ``U`` may be the 2^m x 2^m matrix or (preferred, O(2^m)) the bare
+    diagonal vector.
+    """
     m = len(qubits)
-    d = np.diag(np.asarray(U, dtype=np.complex128))
+    d = np.asarray(U, dtype=np.complex128)
+    if d.ndim == 2:
+        d = np.diag(d)
     low = [q for q in qubits if q < lane]
     high = sorted((q for q in qubits if q >= lane), reverse=True)
 

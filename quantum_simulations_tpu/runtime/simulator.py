@@ -149,7 +149,7 @@ def apply_window_op(re, im, op, dtype, interpret, inplace=False):
     * (lane, high) 2q     -> Pallas mixed-pair kernel
     * everything else     -> planar elementwise / complex mixed paths
     """
-    from ..circuit.panelize import MultiSwapOp, WindowPanelOp
+    from ..circuit.panelize import DiagOp, MultiSwapOp, WindowPanelOp
     from ..ops import pallas_kernels as pk
 
     if isinstance(op, WindowPanelOp):
@@ -160,6 +160,8 @@ def apply_window_op(re, im, op, dtype, interpret, inplace=False):
             re, im, op.W, op.pos, interpret=interpret, inplace=inplace)
     if isinstance(op, MultiSwapOp):
         return apply_multiswap_planar(re, im, op.pairs)
+    if isinstance(op, DiagOp):
+        return dense.apply_diag_planar(re, im, op.qubits, op.d)
     if len(op.qubits) == 2 and not G.is_diagonal(op.U):
         qa, qb = op.qubits
         is_swap = np.array_equal(

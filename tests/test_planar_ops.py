@@ -73,6 +73,7 @@ def test_merge_diag_runs_semantics():
     merged = _merge_diag_runs(ops)
     assert len(merged) == 3
     assert merged[0].name == "fused-diag"
+    assert merged[0].d.ndim == 1  # vector form, never the 2^m x 2^m matrix
     assert merged[1].name == "CNOT"
     assert merged[2].name == "RZZ"
     # Equivalence on a random state.
@@ -82,7 +83,8 @@ def test_merge_diag_runs_semantics():
         want = oracle.apply_gate(want, list(op.qubits), op.U)
     got = psi
     for op in merged:
-        got = oracle.apply_gate(got, list(op.qubits), op.U)
+        U = np.diag(op.d) if hasattr(op, "d") else op.U
+        got = oracle.apply_gate(got, list(op.qubits), U)
     np.testing.assert_allclose(got, want, atol=1e-10)
 
 
