@@ -40,6 +40,10 @@ def run(n: int = 30, *, with_window_row: bool = True) -> dict:
     mesh = make_mesh(8)
     rows = []
 
+    def emit(row):
+        rows.append(row)
+        print(json.dumps(row), flush=True)  # timeout-safe streaming
+
     # --- GHZ at the target n: analytic correctness at scale ---------
     cd = lib.ghz(n)
     t0 = time.time()
@@ -48,7 +52,7 @@ def run(n: int = 30, *, with_window_row: bool = True) -> dict:
     aN = complex(psi[(1 << n) - 1])
     wall = time.time() - t0
     inv = 1 / np.sqrt(2)
-    rows.append({
+    emit({
         "config": f"ghz{n}_sharded8",
         "gates": len(cd["gates"]),
         "wall_s": round(wall, 2),
@@ -64,7 +68,7 @@ def run(n: int = 30, *, with_window_row: bool = True) -> dict:
     psi = E.simulate_sharded(mesh, cd)
     norm2 = float(jnp.sum(jnp.abs(psi) ** 2))
     wall = time.time() - t0
-    rows.append({
+    emit({
         "config": f"sycamore{n}_d2_sharded8",
         "gates": len(cd["gates"]),
         "wall_s": round(wall, 2),
@@ -79,7 +83,7 @@ def run(n: int = 30, *, with_window_row: bool = True) -> dict:
         t0 = time.time()
         got = E.collect_state(E.simulate_sharded(
             mesh, cd, dtype=jnp.complex128, mode=mode))
-        rows.append({
+        emit({
             "config": f"sycamore14_d4_sharded8_{mode}",
             "wall_s": round(time.time() - t0, 2),
             "max_err_vs_oracle": float(np.max(np.abs(got - want))),
