@@ -131,18 +131,21 @@ def panel_apply_planar(
     return ore.reshape(N), oim.reshape(N)
 
 
-def _positioned_kernel(re_ref, im_ref, wr_ref, wi_ref, ore_ref, oim_ref):
-    # Blocks are (BA, dim, CB); contract the middle axis with W.
-    re = re_ref[:]
-    im = im_ref[:]
+def _positioned_kernel(re_ref, im_ref, wr_ref, wi_ref, ore_ref, oim_ref, *,
+                       view):
+    # Blocks are 2-D slices of the (A*dim, C) state view; ``view``
+    # reshapes them to (BA, dim, CB) in VMEM for the contraction.
+    re = re_ref[:].reshape(view)
+    im = im_ref[:].reshape(view)
     wr = wr_ref[:]
     wi = wi_ref[:]
 
     def mm(w, x):
         return jnp.einsum("ij,bjc->bic", w, x, precision=HI)
 
-    ore_ref[:] = mm(wr, re) - mm(wi, im)
-    oim_ref[:] = mm(wi, re) + mm(wr, im)
+    o_shape = re_ref.shape
+    ore_ref[:] = (mm(wr, re) - mm(wi, im)).reshape(o_shape)
+    oim_ref[:] = (mm(wi, re) + mm(wr, im)).reshape(o_shape)
 
 
 def positioned_panel_planar(
@@ -192,29 +195,32 @@ def positioned_panel_planar(
     while A % BA:
         BA //= 2
 
+    # The state stays a 2-D (A*dim, C) view — a layout-preserving
+    # bitcast of the flat planes.  The earlier (A, dim, C) operand
+    # forced XLA to materialise a retiling COPY of each 4 GiB plane at
+    # the program boundary at n=30 (2 copies + the aliased planes =
+    # OOM on a 16 GiB chip; this is what broke the nonstab30 capacity
+    # compile).  Blocks are 2-D row/col slices; the kernel reshapes
+    # its VMEM block to (BA, dim, CB) for the contraction.
+    kern = functools.partial(_positioned_kernel, view=(BA, dim, CB))
+    wspec = pl.BlockSpec((dim, dim), lambda a, c: (0, 0),
+                         memory_space=pltpu.VMEM)
+    if CB == C:
+        spec = pl.BlockSpec((BA * dim, C), lambda a, c: (a, 0),
+                            memory_space=pltpu.VMEM)
+    else:
+        assert BA == 1
+        spec = pl.BlockSpec((dim, CB), lambda a, c: (a, c),
+                            memory_space=pltpu.VMEM)
     ore, oim = pl.pallas_call(
-        _positioned_kernel,
+        kern,
         grid=(A // BA, C // CB),
-        in_specs=[
-            pl.BlockSpec((BA, dim, CB), lambda a, c: (a, 0, c),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((BA, dim, CB), lambda a, c: (a, 0, c),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((dim, dim), lambda a, c: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((dim, dim), lambda a, c: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((BA, dim, CB), lambda a, c: (a, 0, c),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((BA, dim, CB), lambda a, c: (a, 0, c),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[jax.ShapeDtypeStruct((A, dim, C), fdtype)] * 2,
+        in_specs=[spec, spec, wspec, wspec],
+        out_specs=[spec, spec],
+        out_shape=[jax.ShapeDtypeStruct((A * dim, C), fdtype)] * 2,
         input_output_aliases={0: 0, 1: 1} if inplace else {},
         interpret=interpret,
-    )(re.reshape(A, dim, C), im.reshape(A, dim, C), wr, wi)
+    )(re.reshape(A * dim, C), im.reshape(A * dim, C), wr, wi)
     return ore.reshape(N), oim.reshape(N)
 
 
