@@ -20,7 +20,8 @@ import time
 from . import setup_platform
 
 
-def run(n: int = 30, *, with_window_row: bool = True) -> dict:
+def run(n: int = 30, *, with_window_row: bool = True,
+        only: tuple = ()) -> dict:
     import jax
     import numpy as np
 
@@ -44,50 +45,56 @@ def run(n: int = 30, *, with_window_row: bool = True) -> dict:
         rows.append(row)
         print(json.dumps(row), flush=True)  # timeout-safe streaming
 
+    def wanted(tag: str) -> bool:
+        return not only or tag in only
+
     # --- GHZ at the target n: analytic correctness at scale ---------
-    cd = lib.ghz(n)
-    t0 = time.time()
-    psi = E.simulate_sharded(mesh, cd)
-    a0 = complex(psi[0])
-    aN = complex(psi[(1 << n) - 1])
-    wall = time.time() - t0
-    inv = 1 / np.sqrt(2)
-    emit({
-        "config": f"ghz{n}_sharded8",
-        "gates": len(cd["gates"]),
-        "wall_s": round(wall, 2),
-        "amp0_err": round(abs(a0 - inv), 9),
-        "ampN_err": round(abs(aN - inv), 9),
-        "shard_amplitudes": 1 << (n - 3),
-    })
-    del psi
+    if wanted("ghz"):
+        cd = lib.ghz(n)
+        t0 = time.time()
+        psi = E.simulate_sharded(mesh, cd)
+        a0 = complex(psi[0])
+        aN = complex(psi[(1 << n) - 1])
+        wall = time.time() - t0
+        inv = 1 / np.sqrt(2)
+        emit({
+            "config": f"ghz{n}_sharded8",
+            "gates": len(cd["gates"]),
+            "wall_s": round(wall, 2),
+            "amp0_err": round(abs(a0 - inv), 9),
+            "ampN_err": round(abs(aN - inv), 9),
+            "shard_amplitudes": 1 << (n - 3),
+        })
+        del psi
 
     # --- random 2q-heavy circuit at the target n: norm at scale -----
-    cd = lib.sycamore_like(n, depth=2, seed=11)
-    t0 = time.time()
-    psi = E.simulate_sharded(mesh, cd)
-    norm2 = float(jnp.sum(jnp.abs(psi) ** 2))
-    wall = time.time() - t0
-    emit({
-        "config": f"sycamore{n}_d2_sharded8",
-        "gates": len(cd["gates"]),
-        "wall_s": round(wall, 2),
-        "norm2": round(norm2, 6),
-    })
-    del psi
+    if wanted("sycamore"):
+        cd = lib.sycamore_like(n, depth=2, seed=11)
+        t0 = time.time()
+        psi = E.simulate_sharded(mesh, cd)
+        norm2 = float(jnp.sum(jnp.abs(psi) ** 2))
+        wall = time.time() - t0
+        emit({
+            "config": f"sycamore{n}_d2_sharded8",
+            "gates": len(cd["gates"]),
+            "wall_s": round(wall, 2),
+            "norm2": round(norm2, 6),
+        })
+        del psi
 
     # --- oracle-exact row at checkable size, both shard modes -------
-    cd = lib.sycamore_like(14, depth=4, seed=3)
-    want = oracle.simulate(cd)
-    for mode in (("fused",) + (("window",) if with_window_row else ())):
-        t0 = time.time()
-        got = E.collect_state(E.simulate_sharded(
-            mesh, cd, dtype=jnp.complex128, mode=mode))
-        emit({
-            "config": f"sycamore14_d4_sharded8_{mode}",
-            "wall_s": round(time.time() - t0, 2),
-            "max_err_vs_oracle": float(np.max(np.abs(got - want))),
-        })
+    if wanted("oracle"):
+        cd = lib.sycamore_like(14, depth=4, seed=3)
+        want = oracle.simulate(cd)
+        for mode in (("fused",) + (("window",) if with_window_row else ())):
+            t0 = time.time()
+            got = E.collect_state(E.simulate_sharded(
+                mesh, cd, dtype=jnp.complex128, mode=mode))
+            emit({
+                "config": f"sycamore14_d4_sharded8_{mode}",
+                "wall_s": round(time.time() - t0, 2),
+                "max_err_vs_oracle": float(np.max(np.abs(got - want))),
+            })
 
     return {"device": str(dev), "n_devices": 8, "rows": rows}
 
@@ -101,5 +108,6 @@ if __name__ == "__main__":
         os.environ.get("XLA_FLAGS", "")
         + " --xla_force_host_platform_device_count=8")
     os.environ.setdefault("QST_BENCH_PLATFORM", "cpu")
-    ns = [int(a) for a in sys.argv[1:]]
-    print(json.dumps(run(*(ns or [30])), indent=1))
+    ns = [int(a) for a in sys.argv[1:] if a.isdigit()]
+    only = tuple(a for a in sys.argv[1:] if not a.isdigit())
+    print(json.dumps(run(*(ns or [30]), only=only), indent=1))

@@ -131,21 +131,52 @@ def panel_apply_planar(
     return ore.reshape(N), oim.reshape(N)
 
 
-def _positioned_kernel(re_ref, im_ref, wr_ref, wi_ref, ore_ref, oim_ref, *,
-                       view):
-    # Blocks are 2-D slices of the (A*dim, C) state view; ``view``
-    # reshapes them to (BA, dim, CB) in VMEM for the contraction.
-    re = re_ref[:].reshape(view)
-    im = im_ref[:].reshape(view)
+def _positioned_row_kernel(re_ref, im_ref, wr_ref, wi_ref, ore_ref, oim_ref):
+    # Blocks (BA, D2, 128): contract the row axis with the expanded
+    # D2 x D2 operator (pos 7..9).
+    re = re_ref[:]
+    im = im_ref[:]
     wr = wr_ref[:]
     wi = wi_ref[:]
 
     def mm(w, x):
-        return jnp.einsum("ij,bjc->bic", w, x, precision=HI)
+        return jnp.einsum("ij,ajk->aik", w, x, precision=HI)
 
-    o_shape = re_ref.shape
-    ore_ref[:] = (mm(wr, re) - mm(wi, im)).reshape(o_shape)
-    oim_ref[:] = (mm(wi, re) + mm(wr, im)).reshape(o_shape)
+    ore_ref[:] = mm(wr, re) - mm(wi, im)
+    oim_ref[:] = mm(wi, re) + mm(wr, im)
+
+
+def _positioned_4d_kernel(re_ref, im_ref, wr_ref, wi_ref, ore_ref, oim_ref,
+                          *, BB):
+    # Blocks (BA, 128, BB, 128): contract axis 1 (the panel subspace)
+    # with W (pos >= 10).  Unrolled loop over the b axis keeps every
+    # contraction in the known-good (BA, dim, lanes) 3-D form.
+    wr = wr_ref[:]
+    wi = wi_ref[:]
+
+    def mm(w, x):
+        return jnp.einsum("ij,ajk->aik", w, x, precision=HI)
+
+    for b in range(BB):
+        re = re_ref[:, :, b, :]
+        im = im_ref[:, :, b, :]
+        ore_ref[:, :, b, :] = mm(wr, re) - mm(wi, im)
+        oim_ref[:, :, b, :] = mm(wi, re) + mm(wr, im)
+
+
+def _expand_row_operator(w: np.ndarray, e: int) -> np.ndarray:
+    """Expand a dim x dim panel W to D2 = dim*2^e rows: the panel
+    subspace sits at row-bits [e, e+log2(dim)), low row-bits pass
+    through (W2 = perm(W (x) I_2^e))."""
+    dim = w.shape[0]
+    D2 = dim << e
+    r = np.arange(D2)
+    j = r >> e
+    b = r & ((1 << e) - 1)
+    W2 = np.zeros((D2, D2), dtype=w.dtype)
+    # W2[(j2<<e)|b, (j<<e)|b] = W[j2, j]
+    W2[r[:, None], ((np.arange(dim)[None, :] << e) | b[:, None])] = w[j, :]
+    return W2
 
 
 def positioned_panel_planar(
@@ -173,54 +204,94 @@ def positioned_panel_planar(
     wr, wi = _w_planes(W, re.dtype)
     dim = wr.shape[0]
     N = re.size
-    C = 1 << pos
-    A = N // (dim * C)
     assert pos >= 7 or interpret, "positioned panel needs pos >= 7 on TPU"
     fdtype = re.dtype
-    itemsize = np.dtype(fdtype).itemsize
-    # VMEM budget: 4 live blocks (2 in + 2 out planes), double-buffered
-    # by the pipeline, inside the 16 MB scoped limit -> keep each block
-    # <= 512 KiB (1 MiB blocks overflowed via einsum temps).
-    # Mosaic pads the contraction dim to the 128-wide MXU, so budget
-    # with the PADDED dim (a 32-wide panel at CB=4096 hit 22 MB scoped).
-    #
-    # Spend the budget on FULL COLUMNS first: a block with CB < C reads
-    # strided runs of CB*4 bytes (512 B at CB=128 — measured 210 GB/s at
-    # pos=14 vs 640 GB/s at pos=7 where CB=C), while CB=C makes each
-    # (dim, C) slab one contiguous run.  Batch rows only with leftover
-    # budget (when C <= 128 batching is what lengthens the runs).
-    max_elems = max((1 << 19) // (itemsize * max(dim, 128)), 128)
-    CB = min(C, max_elems)
-    BA = min(A, max(1, max_elems // CB), batch_block if C <= 128 else A)
-    while A % BA:
-        BA //= 2
+    alias = {0: 0, 1: 1} if inplace else {}
 
-    # The state stays a 2-D (A*dim, C) view — a layout-preserving
-    # bitcast of the flat planes.  The earlier (A, dim, C) operand
-    # forced XLA to materialise a retiling COPY of each 4 GiB plane at
-    # the program boundary at n=30 (2 copies + the aliased planes =
-    # OOM on a 16 GiB chip; this is what broke the nonstab30 capacity
-    # compile).  Blocks are 2-D row/col slices; the kernel reshapes
-    # its VMEM block to (BA, dim, CB) for the contraction.
-    kern = functools.partial(_positioned_kernel, view=(BA, dim, CB))
-    wspec = pl.BlockSpec((dim, dim), lambda a, c: (0, 0),
+    # LAYOUT RULE (the n=30 capacity lesson): every operand view must
+    # be a pure bitcast of the flat planes — any view whose minor-two
+    # dims don't linearise as (mult-of-8, 128) makes XLA materialise a
+    # RETILING COPY of the whole plane (4 GiB at n=30; two copies +
+    # the aliased planes OOM a 16 GiB chip).  (X, 128) and
+    # (..., X, 128) with X % 8 == 0 are exactly the linear-safe views.
+    lanes = 128
+    e = pos - 7  # panel bits sit at row-bits [e, e+w) of the (R,128) view
+
+    if not isinstance(W, tuple) and dim != lanes:
+        # Non-128 panels (ragged width) keep the legacy 3-D path; they
+        # only occur off the capacity tier.
+        C = 1 << pos
+        A = N // (dim * C)
+        CB = min(C, max(128, (1 << 17) // dim))
+        BA = 1
+        kern = _positioned_row_kernel
+        spec = pl.BlockSpec((BA, dim, CB), lambda a, c: (a, 0, c),
+                            memory_space=pltpu.VMEM)
+        wspec = pl.BlockSpec((dim, dim), lambda a, c: (0, 0),
+                             memory_space=pltpu.VMEM)
+        ore, oim = pl.pallas_call(
+            kern,
+            grid=(A, C // CB),
+            in_specs=[spec, spec, wspec, wspec],
+            out_specs=[spec, spec],
+            out_shape=[jax.ShapeDtypeStruct((A, dim, C), fdtype)] * 2,
+            input_output_aliases=alias,
+            interpret=interpret,
+        )(re.reshape(A, dim, C), im.reshape(A, dim, C), wr, wi)
+        return ore.reshape(N), oim.reshape(N)
+
+    if e < 3:
+        # pos 7..9: expand W over the e low row-bits to a D2 x D2 row
+        # operator; view (A2, D2, 128) is linear-safe (D2 % 8 == 0).
+        if isinstance(W, tuple):
+            raise NotImplementedError("traced W on the expanded-row path")
+        D2 = dim << e
+        wnp = np.asarray(W, dtype=np.complex128)
+        W2r = _expand_row_operator(
+            np.ascontiguousarray(wnp.real), e).astype(fdtype)
+        W2i_np = _expand_row_operator(
+            np.ascontiguousarray(wnp.imag), e).astype(fdtype)
+        A2 = N // (D2 * lanes)
+        BA = max(1, (1 << 16) // (D2 * lanes))
+        while A2 % BA:
+            BA //= 2
+        spec = pl.BlockSpec((BA, D2, lanes), lambda a: (a, 0, 0),
+                            memory_space=pltpu.VMEM)
+        wspec = pl.BlockSpec((D2, D2), lambda a: (0, 0),
+                             memory_space=pltpu.VMEM)
+        ore, oim = pl.pallas_call(
+            _positioned_row_kernel,
+            grid=(A2 // BA,),
+            in_specs=[spec, spec, wspec, wspec],
+            out_specs=[spec, spec],
+            out_shape=[jax.ShapeDtypeStruct((A2, D2, lanes), fdtype)] * 2,
+            input_output_aliases=alias,
+            interpret=interpret,
+        )(re.reshape(A2, D2, lanes), im.reshape(A2, D2, lanes),
+          jnp.asarray(W2r), jnp.asarray(W2i_np))
+        return ore.reshape(N), oim.reshape(N)
+
+    # pos >= 10: 4-D view (A2, 128, B2, 128) — linear-safe (B2 >= 8).
+    B2 = 1 << e
+    A2 = N // (dim * B2 * lanes)
+    BB = min(B2, 8)
+    BA = max(1, (1 << 16) // (dim * BB * lanes))
+    while A2 % BA:
+        BA //= 2
+    spec = pl.BlockSpec((BA, dim, BB, lanes), lambda a, b: (a, 0, b, 0),
+                        memory_space=pltpu.VMEM)
+    wspec = pl.BlockSpec((dim, dim), lambda a, b: (0, 0),
                          memory_space=pltpu.VMEM)
-    if CB == C:
-        spec = pl.BlockSpec((BA * dim, C), lambda a, c: (a, 0),
-                            memory_space=pltpu.VMEM)
-    else:
-        assert BA == 1
-        spec = pl.BlockSpec((dim, CB), lambda a, c: (a, c),
-                            memory_space=pltpu.VMEM)
     ore, oim = pl.pallas_call(
-        kern,
-        grid=(A // BA, C // CB),
+        functools.partial(_positioned_4d_kernel, BB=BB),
+        grid=(A2 // BA, B2 // BB),
         in_specs=[spec, spec, wspec, wspec],
         out_specs=[spec, spec],
-        out_shape=[jax.ShapeDtypeStruct((A * dim, C), fdtype)] * 2,
-        input_output_aliases={0: 0, 1: 1} if inplace else {},
+        out_shape=[jax.ShapeDtypeStruct((A2, dim, B2, lanes), fdtype)] * 2,
+        input_output_aliases=alias,
         interpret=interpret,
-    )(re.reshape(A * dim, C), im.reshape(A * dim, C), wr, wi)
+    )(re.reshape(A2, dim, B2, lanes), im.reshape(A2, dim, B2, lanes),
+      wr, wi)
     return ore.reshape(N), oim.reshape(N)
 
 
