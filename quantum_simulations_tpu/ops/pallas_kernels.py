@@ -471,7 +471,10 @@ def pair_update_planar(
         return ore.reshape(N), oim.reshape(N)
 
     if inplace:
-        c = min(lo - 3, 12)
+        # Canonical 128-lane columns: the (..., X, 128) view is a pure
+        # bitcast of the flat planes (wider Cc retiles — fatal at the
+        # n=30 capacity tier; see positioned_panel_planar).
+        c = 7
         Cc = 1 << c
         BR = min(1 << (lo - c), max(8, (1 << 14) // Cc))
         A = N >> (hi + 1)
@@ -636,6 +639,111 @@ def mixed_pair_planar(
         input_output_aliases={0: 0, 1: 1} if inplace else {},
         interpret=interpret,
     )(re.reshape(A, 2, B, 128), im.reshape(A, 2, B, 128),
+      jnp.asarray(Lr), jnp.asarray(Li))
+    return ore.reshape(N), oim.reshape(N)
+
+
+def mixed_low_pair_supported(qa: int, qb: int, lane: int = 7) -> bool:
+    hi, lo = max(qa, qb), min(qa, qb)
+    return lo < lane and lane <= hi <= 9
+
+
+def _mixed_low_kernel(re_ref, im_ref, lr_ref, li_ref, ore_ref, oim_ref, *,
+                      t, use_r, use_i):
+    # Block (BA, 8, 128): row-bits [0,3) in the middle axis, the hi bit
+    # at position t; the lane bit rides the 128x128 L operators.  The
+    # value reshape splits the middle axis so the hi bit is indexable —
+    # all above the minor-two dims, so it is layout-free in VREGs.
+    _DN2 = (((3,), (1,)), ((), ()))
+
+    def mm(x, m):
+        return jax.lax.dot_general(x, m, _DN2, precision=HI)
+
+    def planes(ref):
+        v = ref[:]
+        ba = v.shape[0]
+        return v.reshape(ba, 8 >> (t + 1), 2, 1 << t, 128)
+
+    vre = planes(re_ref)
+    vim = planes(im_ref)
+    xs = {h: (vre[:, :, h, :, :], vim[:, :, h, :, :]) for h in (0, 1)}
+
+    def add(a, v):
+        return v if a is None else a + v
+
+    out_r = []
+    out_i = []
+    for ho in (0, 1):
+        ar = ai = None
+        for h in (0, 1):
+            xr, xi = xs[h]
+            if use_r[ho][h]:
+                m = lr_ref[ho, h, :, :]
+                ar = add(ar, mm(xr, m))
+                ai = add(ai, mm(xi, m))
+            if use_i[ho][h]:
+                m = li_ref[ho, h, :, :]
+                ar = add(ar, -mm(xi, m))
+                ai = add(ai, mm(xr, m))
+        if ar is None:
+            ar = jnp.zeros_like(xs[0][0])
+            ai = jnp.zeros_like(xs[0][1])
+        out_r.append(ar)
+        out_i.append(ai)
+
+    shape = re_ref.shape
+    ore_ref[:] = jnp.stack(out_r, axis=2).reshape(shape)
+    oim_ref[:] = jnp.stack(out_i, axis=2).reshape(shape)
+
+
+def mixed_low_pair_planar(
+    re: jnp.ndarray,
+    im: jnp.ndarray,
+    qa: int,
+    qb: int,
+    U: np.ndarray,
+    *,
+    interpret: bool = False,
+    inplace: bool = False,
+):
+    """2q gate on (lane, 7..9) pairs — the straddler hole, layout-free.
+
+    The wide pos-0 panel formulation viewed the state as (R, 2^(hi+1))
+    whose 256..1024-wide rows don't linearise against the flat tiling,
+    so XLA inserted 4 GiB retiling copies (fatal at n=30).  Here the
+    view is (A, 8, 128) — always linear-safe — with the hi bit indexed
+    inside the 8-axis and the lane bit folded into 128x128 MXU lane
+    operators (same scheme as :func:`mixed_pair_planar`).
+    """
+    hi = max(qa, qb)
+    assert mixed_low_pair_supported(qa, qb), (qa, qb)
+    t = hi - 7
+    L = _mixed_lane_ops(U, qa, qb)
+    N = re.size
+    fdtype = re.dtype
+    Lr = np.ascontiguousarray(L.real, dtype=fdtype)
+    Li = np.ascontiguousarray(L.imag, dtype=fdtype)
+    use_r = [[bool(Lr[ho, h].any()) for h in (0, 1)] for ho in (0, 1)]
+    use_i = [[bool(Li[ho, h].any()) for h in (0, 1)] for ho in (0, 1)]
+
+    A = N // (8 * 128)
+    BA = min(A, 64)
+    while A % BA:
+        BA //= 2
+    spec = pl.BlockSpec((BA, 8, 128), lambda a: (a, 0, 0),
+                        memory_space=pltpu.VMEM)
+    lspec = pl.BlockSpec((2, 2, 128, 128), lambda a: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    kern = functools.partial(_mixed_low_kernel, t=t, use_r=use_r, use_i=use_i)
+    ore, oim = pl.pallas_call(
+        kern,
+        grid=(A // BA,),
+        in_specs=[spec, spec, lspec, lspec],
+        out_specs=[spec, spec],
+        out_shape=[jax.ShapeDtypeStruct((A, 8, 128), fdtype)] * 2,
+        input_output_aliases={0: 0, 1: 1} if inplace else {},
+        interpret=interpret,
+    )(re.reshape(A, 8, 128), im.reshape(A, 8, 128),
       jnp.asarray(Lr), jnp.asarray(Li))
     return ore.reshape(N), oim.reshape(N)
 

@@ -167,24 +167,27 @@ def apply_window_op(re, im, op, dtype, interpret, inplace=False):
         is_swap = np.array_equal(
             np.asarray(op.U, np.complex128), dense._SWAP4)
         # At capacity (inplace mode) the pair kernel also takes SWAPs:
-        # the XLA transpose allocates a second copy of the plane.
-        if (not is_swap or inplace) and pk.pair_update_supported(qa, qb):
+        # the XLA transpose allocates a second copy of the plane.  The
+        # COLUMN pair layout (lo <= 12) is not a bitcast of the flat
+        # planes, so capacity mode keeps those gates on the planar XLA
+        # path (layout-safe) and only the canonical-lane row kernel
+        # (lo >= 13) runs in-place.
+        if (
+            (not is_swap or inplace)
+            and pk.pair_update_supported(qa, qb)
+            and (not inplace or min(qa, qb) >= 13)
+        ):
             return pk.pair_update_planar(
                 re, im, qa, qb, op.U, interpret=interpret, inplace=inplace)
         if pk.mixed_pair_supported(qa, qb):
             return pk.mixed_pair_planar(
                 re, im, qa, qb, op.U, interpret=interpret, inplace=inplace)
-        if max(qa, qb) <= 9 and min(qa, qb) < 7:
-            # (lane, 7..9) straddler: neither kernel's layout works
-            # (the high bit would make a sub-8 sublane axis, which HBM
-            # tiling pads 8x).  Run it as a WIDE pos-0 lane panel —
-            # 2^(hi+1)-dim MXU contraction, ~3-12 ms at n=26 vs 13-22
-            # for the complex mixed path, and it keeps the capacity
-            # tier's zero-extra-HBM guarantee (aliased panel kernel).
-            W = dense.expand_to_low_block(
-                (qa, qb), op.U, max(qa, qb) + 1)
-            return pk.panel_apply_planar(
-                re, im, W, interpret=interpret, inplace=inplace)
+        if pk.mixed_low_pair_supported(qa, qb) and re.size >= 8 * 128:
+            # (lane, 7..9) straddler: layout-free (A, 8, 128) view with
+            # the hi bit indexed in-kernel and the lane bit folded into
+            # 128x128 MXU lane operators.
+            return pk.mixed_low_pair_planar(
+                re, im, qa, qb, op.U, interpret=interpret, inplace=inplace)
     planar = dense.apply_gate_planar(re, im, op.qubits, op.U)
     if planar is not None:
         return planar
