@@ -101,7 +101,15 @@ def run(ns=(30,), reps: int = 3, retries: int = 3) -> dict:
                 })
             except Exception as e:
                 row["error"] = f"{type(e).__name__}: {str(e)[:200]}"
+            finally:
+                # The planes are half the chip's HBM — they must not
+                # survive into the next config's allocation.
+                import gc
+
+                re = im = None  # noqa: F841
+                gc.collect()
             rows.append(row)
+            print(json.dumps(row), flush=True)
     return {"device": str(dev), "rows": rows}
 
 
