@@ -131,19 +131,42 @@ def panel_apply_planar(
     return ore.reshape(N), oim.reshape(N)
 
 
-def _positioned_row_kernel(re_ref, im_ref, wr_ref, wi_ref, ore_ref, oim_ref):
-    # Blocks (BA, D2, 128): contract the row axis with the expanded
-    # D2 x D2 operator (pos 7..9).
-    re = re_ref[:]
-    im = im_ref[:]
+def _positioned_row_kernel(re_ref, im_ref, wr_ref, wi_ref, ore_ref, oim_ref,
+                           *, e=0):
+    # Blocks (BA, D2, 128) with D2 = dim*2^e (pos 7..9).  The expanded
+    # D2 x D2 operator is perm(W (x) I_2^e) — contracting it densely
+    # costs 2^e times the flops and measured 250 GB/s at e=1 vs 497 at
+    # e=0 (compute-bound).  Instead reshape the VALUE so the low e row
+    # bits become a loop axis and contract only the dim-wide panel
+    # axis (W itself) per slice.
     wr = wr_ref[:]
     wi = wi_ref[:]
+    dim = wr.shape[0]
 
     def mm(w, x):
         return jnp.einsum("ij,ajk->aik", w, x, precision=HI)
 
-    ore_ref[:] = mm(wr, re) - mm(wi, im)
-    oim_ref[:] = mm(wi, re) + mm(wr, im)
+    if e == 0:
+        re = re_ref[:]
+        im = im_ref[:]
+        ore_ref[:] = mm(wr, re) - mm(wi, im)
+        oim_ref[:] = mm(wi, re) + mm(wr, im)
+        return
+
+    ba = re_ref.shape[0]
+    view = (ba, dim, 1 << e, 128)
+    vre = re_ref[:].reshape(view)
+    vim = im_ref[:].reshape(view)
+    out_r = []
+    out_i = []
+    for b in range(1 << e):
+        re = vre[:, :, b, :]
+        im = vim[:, :, b, :]
+        out_r.append(mm(wr, re) - mm(wi, im))
+        out_i.append(mm(wi, re) + mm(wr, im))
+    shape = re_ref.shape
+    ore_ref[:] = jnp.stack(out_r, axis=2).reshape(shape)
+    oim_ref[:] = jnp.stack(out_i, axis=2).reshape(shape)
 
 
 def _positioned_4d_kernel(re_ref, im_ref, wr_ref, wi_ref, ore_ref, oim_ref,
@@ -164,19 +187,6 @@ def _positioned_4d_kernel(re_ref, im_ref, wr_ref, wi_ref, ore_ref, oim_ref,
         oim_ref[:, :, b, :] = mm(wi, re) + mm(wr, im)
 
 
-def _expand_row_operator(w: np.ndarray, e: int) -> np.ndarray:
-    """Expand a dim x dim panel W to D2 = dim*2^e rows: the panel
-    subspace sits at row-bits [e, e+log2(dim)), low row-bits pass
-    through (W2 = perm(W (x) I_2^e))."""
-    dim = w.shape[0]
-    D2 = dim << e
-    r = np.arange(D2)
-    j = r >> e
-    b = r & ((1 << e) - 1)
-    W2 = np.zeros((D2, D2), dtype=w.dtype)
-    # W2[(j2<<e)|b, (j<<e)|b] = W[j2, j]
-    W2[r[:, None], ((np.arange(dim)[None, :] << e) | b[:, None])] = w[j, :]
-    return W2
 
 
 def positioned_panel_planar(
@@ -241,34 +251,27 @@ def positioned_panel_planar(
         return ore.reshape(N), oim.reshape(N)
 
     if e < 3:
-        # pos 7..9: expand W over the e low row-bits to a D2 x D2 row
-        # operator; view (A2, D2, 128) is linear-safe (D2 % 8 == 0).
-        if isinstance(W, tuple):
-            raise NotImplementedError("traced W on the expanded-row path")
+        # pos 7..9: view (A2, D2 = dim*2^e, 128) is linear-safe
+        # (D2 % 8 == 0); the kernel loops the 2^e low row-bits and
+        # contracts only the dim-wide panel axis.
         D2 = dim << e
-        wnp = np.asarray(W, dtype=np.complex128)
-        W2r = _expand_row_operator(
-            np.ascontiguousarray(wnp.real), e).astype(fdtype)
-        W2i_np = _expand_row_operator(
-            np.ascontiguousarray(wnp.imag), e).astype(fdtype)
         A2 = N // (D2 * lanes)
         BA = max(1, (1 << 16) // (D2 * lanes))
         while A2 % BA:
             BA //= 2
         spec = pl.BlockSpec((BA, D2, lanes), lambda a: (a, 0, 0),
                             memory_space=pltpu.VMEM)
-        wspec = pl.BlockSpec((D2, D2), lambda a: (0, 0),
+        wspec = pl.BlockSpec((dim, dim), lambda a: (0, 0),
                              memory_space=pltpu.VMEM)
         ore, oim = pl.pallas_call(
-            _positioned_row_kernel,
+            functools.partial(_positioned_row_kernel, e=e),
             grid=(A2 // BA,),
             in_specs=[spec, spec, wspec, wspec],
             out_specs=[spec, spec],
             out_shape=[jax.ShapeDtypeStruct((A2, D2, lanes), fdtype)] * 2,
             input_output_aliases=alias,
             interpret=interpret,
-        )(re.reshape(A2, D2, lanes), im.reshape(A2, D2, lanes),
-          jnp.asarray(W2r), jnp.asarray(W2i_np))
+        )(re.reshape(A2, D2, lanes), im.reshape(A2, D2, lanes), wr, wi)
         return ore.reshape(N), oim.reshape(N)
 
     # pos >= 10: 4-D view (A2, 128, B2, 128) — linear-safe (B2 >= 8).
