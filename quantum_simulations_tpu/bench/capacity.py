@@ -45,6 +45,10 @@ def run(ns=(30,), reps: int = 3, retries: int = 3) -> dict:
         configs = [
             (f"ghz{n}", lib.ghz(n), True),
             (f"nonstab{n}", lib.non_stabilizer(n, depth=4, seed=7), False),
+            # QFT exercises the remaining capacity op classes: merged
+            # DiagOp broadcasts and multiswap transposes (out-of-place
+            # per plane: peak 3 planes = 12 GiB at n=30, still fits).
+            (f"qft{n}", lib.qft(n), False),
         ]
         for tag, cd, check_amps in configs:
             row = {"config": tag, "n": n, "gates": len(cd["gates"])}

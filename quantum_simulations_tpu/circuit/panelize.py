@@ -407,6 +407,13 @@ def _merge_diag_runs(ops: list, max_qubits: int = DIAG_MERGE_MAX_QUBITS) -> list
     out: list = []
     run: list[PhysGateOp] = []
 
+    def _mergeable(union: set) -> bool:
+        # Merged runs must stay within one of the capacity tier's
+        # layout-safe view classes (ops/dense.apply_diag_planar_shear):
+        # all-row (>= 7) or all-low (< 10).  Lane+high mixes stay
+        # singletons (the 2q split path handles those).
+        return all(q >= 7 for q in union) or all(q < 10 for q in union)
+
     def flush() -> None:
         nonlocal run
         while run:
@@ -414,7 +421,7 @@ def _merge_diag_runs(ops: list, max_qubits: int = DIAG_MERGE_MAX_QUBITS) -> list
             union = set(group[0].qubits)
             while run:
                 cand = set(run[0].qubits) | union
-                if len(cand) > max_qubits:
+                if len(cand) > max_qubits or not _mergeable(cand):
                     break
                 union = cand
                 group.append(run.pop(0))

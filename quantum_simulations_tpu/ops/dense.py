@@ -763,6 +763,166 @@ def apply_diag_planar(re, im, qubits: tuple[int, ...], d: np.ndarray,
     return o_re.reshape(re.size), o_im.reshape(im.size)
 
 
+def _shear_tables(d: np.ndarray):
+    """(sign, tan(theta/2), sin(theta)) for the three-shear rotation."""
+    d = np.asarray(d, dtype=np.complex128)
+    if d.ndim == 2:
+        d = np.diag(d)
+    theta = np.angle(d)
+    neg = np.cos(theta) < 0.0
+    sign = np.where(neg, -1.0, 1.0)
+    theta = np.where(neg, np.angle(d * -1.0), theta)
+    return sign, np.tan(theta / 2.0), np.sin(theta)
+
+
+def _row_gather_shear(re, im, qubits, d, lane, fdt, *, lane_mask_bit=None):
+    """Three-shear rotation with per-ROW phases gathered in-graph.
+
+    ``qubits`` are row bits (>= lane); the 2^m phase table is gathered
+    into (R, 1) vectors by row pattern.  ``lane_mask_bit`` restricts
+    the rotation to lanes with that bit set (the masked factor of a
+    (lane, row) 2q diag); identity shears (t=si=0) make masked-out
+    lanes exact no-ops.
+    """
+    import jax.numpy as jnp
+
+    m = len(qubits)
+    R = re.size >> lane
+    sign, t, si = _shear_tables(np.asarray(d, dtype=np.complex128))
+    need_sign = bool((sign < 0).any())
+    if not (np.any(t != 0.0) or np.any(si != 0.0) or need_sign):
+        return re, im
+
+    rows = jnp.arange(R, dtype=jnp.int32 if R <= (1 << 31) else jnp.int64)
+    rpat = jnp.zeros_like(rows)
+    for j, q in enumerate(qubits):
+        rpat = rpat | (((rows >> (q - lane)) & 1) << (m - 1 - j))
+
+    lm = None
+    if lane_mask_bit is not None:
+        lanes = jnp.arange(1 << lane)
+        lm = (((lanes >> lane_mask_bit) & 1)).astype(fdt)[None, :]
+
+    def vec(tab):
+        v = jnp.take(jnp.asarray(tab.astype(fdt)), rpat)[:, None]
+        return v if lm is None else v * lm
+
+    S = None
+    if need_sign:
+        if lm is None:
+            S = vec(sign)
+        else:
+            # masked sign: 1 on masked-out lanes
+            sv = jnp.take(jnp.asarray(sign.astype(fdt)), rpat)[:, None]
+            S = 1.0 + (sv - 1.0) * lm
+    return _apply_shears(
+        re, im, (R, 1 << lane), S, vec(t), vec(si), need_sign)
+
+
+def _apply_shears(re, im, view, S, T, SI, need_sign):
+    """The three-shear rotation with broadcast constants over `view`.
+
+    re/im come in flat and leave flat; every intermediate is ONE new
+    plane (peak liveness 3 planes — the in-place capacity requirement;
+    the direct complex broadcast keeps 4 live).
+    """
+    r = re.reshape(view)
+    i = im.reshape(view)
+    if need_sign:
+        r = r * S
+        i = i * S
+    r = r - T * i
+    i = i + SI * r
+    r = r - T * i
+    return r.reshape(re.size), i.reshape(im.size)
+
+
+def apply_diag_planar_shear(re, im, qubits: tuple[int, ...], d: np.ndarray,
+                            *, lane_bits: int | None = None):
+    """Diagonal phases via in-place-friendly shears on LAYOUT-SAFE views.
+
+    Capacity-tier (n >= 29) diag application: the direct broadcast
+    peaks at 4 live planes (16 GiB at n=30) and its interleaved
+    per-qubit views force padded layouts.  Three cases, all with views
+    whose minor dims linearise against the flat planes:
+
+    * all qubits >= lane ("row-only"): per-ROW shear vectors (R, 1)
+      gathered in-graph from the 2^m tables, view (R, 128);
+    * all qubits < lane+3 ("low"): (1, 8, 128) broadcast tables on an
+      (A, 8, 128) view;
+    * 2q with one lane qubit and one row qubit >= lane+3: per-h lane
+      tables (1, 2, 1, 128) on an (A, 2, B, 128) view.
+
+    Falls back to the direct broadcast path for shapes outside these
+    (the scheduler's merge partition guarantees they don't occur).
+    """
+    import jax.numpy as jnp
+
+    lane = _lane_width(re.size, lane_bits)
+    qubits = tuple(qubits)
+    sign, t, si = _shear_tables(d)
+    need_sign = bool((sign < 0).any())
+    if not (np.any(t != 0.0) or np.any(si != 0.0)):
+        if not need_sign:
+            return re, im
+    fdt = np.dtype(re.dtype)
+    m = len(qubits)
+    N = re.size
+    R = N >> lane
+
+    if all(q >= lane for q in qubits):
+        return _row_gather_shear(re, im, qubits, d, lane, fdt)
+
+    if all(q < lane + 3 for q in qubits):
+        # bits [0, lane+3): tables over (8 row values, 2^lane lanes)
+        lanes = np.arange(1 << lane)
+        rows8 = np.arange(8)
+        sub = np.zeros((8, 1 << lane), dtype=np.int64)
+        for j, q in enumerate(qubits):
+            bit = (
+                (rows8[:, None] >> (q - lane)) & 1 if q >= lane
+                else (lanes[None, :] >> q) & 1
+            )
+            sub |= bit << (m - 1 - j)
+
+        def tab(v):
+            return jnp.asarray(v[sub].astype(fdt))[None, :, :]
+
+        A = N // (8 << lane)
+        return _apply_shears(
+            re, im, (A, 8, 1 << lane),
+            tab(sign) if need_sign else None, tab(t), tab(si), need_sign)
+
+    if m == 2 and min(qubits) < lane and max(qubits) >= lane:
+        # One lane bit + one row bit: factor the joint phase into two
+        # per-row rotations, the second masked to the l==1 lanes —
+        # rotation(theta(h,l)) = rot(theta(h,0)) o rot(dtheta(h)*[l]).
+        # Both factors use (R,1)- and trailing-lane broadcasts, the
+        # shapes XLA fuses (a (1,2,1,128) middle-axis broadcast was
+        # MATERIALIZED at 4 GiB each and OOM'd the n=30 compile).
+        ql, qh = min(qubits), max(qubits)
+        dd = np.asarray(d, dtype=np.complex128)
+        if dd.ndim == 2:
+            dd = np.diag(dd)
+
+        def phase(h, l):
+            sub = 0
+            for j, q in enumerate(qubits):
+                bit = h if q == qh else l
+                sub |= bit << (m - 1 - j)
+            return dd[sub]
+
+        dA = np.array([phase(0, 0), phase(1, 0)])
+        dB = np.array([phase(0, 1) / phase(0, 0),
+                       phase(1, 1) / phase(1, 0)])
+        re, im = _row_gather_shear(re, im, (qh,), dA, lane, fdt)
+        return _row_gather_shear(re, im, (qh,), dB, lane, fdt,
+                                 lane_mask_bit=ql)
+
+    # General mixed shape (shouldn't be emitted at capacity): direct.
+    return apply_diag_planar(re, im, qubits, np.asarray(d))
+
+
 def _diag_bcast_planes(size, qubits, U, lane, fdtype):
     """(Pr, Pi, view_shape) constants for a planar diagonal broadcast.
 

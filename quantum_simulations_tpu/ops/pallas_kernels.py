@@ -452,7 +452,12 @@ def pair_update_planar(
     N = re.size
     fdtype = re.dtype
 
-    if lo <= PAIR_COL_MAX_LO:
+    # In-place mode always takes the canonical-lane ROW path (its view
+    # is a bitcast; the column view retiles — fatal at n>=29).  It
+    # needs T = 2^(lo-7) >= 8, i.e. lo >= 10.
+    if inplace:
+        assert lo >= 10, (qa, qb)
+    if lo <= PAIR_COL_MAX_LO and not inplace:
         C2 = 1 << (lo + 1)
         Clo = 1 << lo
         B = 1 << (hi - lo - 1)
@@ -643,6 +648,93 @@ def mixed_pair_planar(
         interpret=interpret,
     )(re.reshape(A, 2, B, 128), im.reshape(A, 2, B, 128),
       jnp.asarray(Lr), jnp.asarray(Li))
+    return ore.reshape(N), oim.reshape(N)
+
+
+def midpair_supported(qa: int, qb: int) -> bool:
+    hi, lo = max(qa, qb), min(qa, qb)
+    return 7 <= lo <= 9 and hi >= 10
+
+
+def _midpair_kernel(re_ref, im_ref, ore_ref, oim_ref, *, t, C):
+    # Block (BA, 2, BB, 8, 128): hi bit on axis 1, the lo bit at
+    # position t inside the 8-axis (row bits [0,3)); value reshape
+    # exposes it.  All four output planes are written in one step, so
+    # in/out aliasing is hazard-free.
+    def planes(ref):
+        v = ref[:]
+        s = v.shape
+        return v.reshape(s[0], 2, s[2], 8 >> (t + 1), 2, 1 << t, 128)
+
+    vre = planes(re_ref)
+    vim = planes(im_ref)
+    keys = [(0, 0), (0, 1), (1, 0), (1, 1)]
+    xs = [(vre[:, h, :, :, l, :, :], vim[:, h, :, :, l, :, :])
+          for h, l in keys]
+    shape = xs[0][0].shape
+    outs = {}
+    for ho, lo_ in keys:
+        outs[(ho, lo_)] = _plane_lincomb(
+            [C[ho, lo_, h, l] for h, l in keys], xs, shape, re_ref.dtype)
+
+    def assemble(part):
+        # stack back to (BA, 2, BB, 8>>t+1, 2, 2^t, 128) -> block shape
+        hs = []
+        for ho in (0, 1):
+            ls = jnp.stack([outs[(ho, 0)][part], outs[(ho, 1)][part]],
+                           axis=3)
+            hs.append(ls)
+        return jnp.stack(hs, axis=1).reshape(re_ref.shape)
+
+    ore_ref[:] = assemble(0)
+    oim_ref[:] = assemble(1)
+
+
+def midpair_planar(
+    re: jnp.ndarray,
+    im: jnp.ndarray,
+    qa: int,
+    qb: int,
+    U: np.ndarray,
+    *,
+    interpret: bool = False,
+    inplace: bool = False,
+):
+    """Generic 2q gate on (7..9, >=10) qubit pairs — layout-free.
+
+    The planar XLA lincomb handles these but allocates out-of-place
+    (and the SWAP transpose's (...,2,2^lo) views force padded layouts
+    that OOM at n=30); this kernel views the state as
+    (A, 2, B, 8, 128) — always a bitcast — with scalar plane
+    coefficients from the 4x4 U (structural zeros elided at trace
+    time, so CNOT/SWAP cost no multiplies).
+    """
+    hi, lo = max(qa, qb), min(qa, qb)
+    assert midpair_supported(qa, qb), (qa, qb)
+    t = lo - 7
+    C = _pair_coeffs(U, qa, qb)
+    N = re.size
+    fdtype = re.dtype
+    A = N >> (hi + 1)
+    B = 1 << (hi - 10)
+    BB = min(B, 32)
+    while B % BB:
+        BB //= 2
+    BA = min(A, max(1, 64 // (2 * BB)))
+    while A % BA:
+        BA //= 2
+    spec = pl.BlockSpec((BA, 2, BB, 8, 128), lambda a, b: (a, 0, b, 0, 0),
+                        memory_space=pltpu.VMEM)
+    kern = functools.partial(_midpair_kernel, t=t, C=C)
+    ore, oim = pl.pallas_call(
+        kern,
+        grid=(A // BA, B // BB),
+        in_specs=[spec, spec],
+        out_specs=[spec, spec],
+        out_shape=[jax.ShapeDtypeStruct((A, 2, B, 8, 128), fdtype)] * 2,
+        input_output_aliases={0: 0, 1: 1} if inplace else {},
+        interpret=interpret,
+    )(re.reshape(A, 2, B, 8, 128), im.reshape(A, 2, B, 8, 128))
     return ore.reshape(N), oim.reshape(N)
 
 

@@ -161,7 +161,16 @@ def apply_window_op(re, im, op, dtype, interpret, inplace=False):
     if isinstance(op, MultiSwapOp):
         return apply_multiswap_planar(re, im, op.pairs)
     if isinstance(op, DiagOp):
+        if inplace:
+            # The direct broadcast keeps 4 planes live (16 GiB at
+            # n=30); the exact three-shear form peaks at 3.
+            return dense.apply_diag_planar_shear(re, im, op.qubits, op.d)
         return dense.apply_diag_planar(re, im, op.qubits, op.d)
+    if inplace and G.is_diagonal(op.U):
+        # Singleton diag gates (incl. the lane+high 2q mixes the merge
+        # partition leaves alone) take the layout-safe shear path.
+        return dense.apply_diag_planar_shear(
+            re, im, op.qubits, np.diag(np.asarray(op.U)))
     if len(op.qubits) == 2 and not G.is_diagonal(op.U):
         qa, qb = op.qubits
         is_swap = np.array_equal(
@@ -175,10 +184,16 @@ def apply_window_op(re, im, op, dtype, interpret, inplace=False):
         if (
             (not is_swap or inplace)
             and pk.pair_update_supported(qa, qb)
-            and (not inplace or min(qa, qb) >= 13)
+            and (not inplace or min(qa, qb) >= 10)
         ):
             return pk.pair_update_planar(
                 re, im, qa, qb, op.U, interpret=interpret, inplace=inplace)
+        if inplace and pk.midpair_supported(qa, qb):
+            # (7..9, >=10) pairs: the SWAP transpose / XLA lincomb
+            # views force padded layouts at capacity; the midpair
+            # kernel stays a bitcast of the flat planes.
+            return pk.midpair_planar(
+                re, im, qa, qb, op.U, interpret=interpret, inplace=True)
         if pk.mixed_pair_supported(qa, qb):
             return pk.mixed_pair_planar(
                 re, im, qa, qb, op.U, interpret=interpret, inplace=inplace)

@@ -59,15 +59,25 @@ class TestInplaceParity:
         np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
         np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
 
-    @pytest.mark.parametrize("qa,qb", [(8, 15), (15, 8), (9, 13)])
-    def test_pair_col(self, qa, qb):
+    @pytest.mark.parametrize("qa,qb", [(10, 15), (15, 10), (11, 15)])
+    def test_pair_inplace_row_path(self, qa, qb):
         re, im = _planes(17, 7)
         U = _rand_u(4, 8)
         a = pk.pair_update_planar(re, im, qa, qb, U, interpret=True)
         b = pk.pair_update_planar(
             re, im, qa, qb, U, interpret=True, inplace=True)
-        np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
-        np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+        np.testing.assert_allclose(
+            np.asarray(a[0]), np.asarray(b[0]), atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(a[1]), np.asarray(b[1]), atol=1e-6)
+
+    def test_pair_inplace_rejects_col_range(self):
+        """lo <= 9 pairs must not claim in-place support (the column
+        view retiles; capacity mode routes them to midpair/planar)."""
+        re, im = _planes(17, 7)
+        with pytest.raises(AssertionError):
+            pk.pair_update_planar(
+                re, im, 8, 15, _rand_u(4, 8), interpret=True, inplace=True)
 
     @pytest.mark.parametrize("qa,qb", [(13, 16), (16, 13), (14, 15)])
     def test_pair_row_inplace_variant(self, qa, qb):
@@ -145,3 +155,101 @@ class TestPlanarIoWindowFn:
         assert abs(norm2 - 1.0) < 1e-5
         assert abs(float(re[0]) - 1 / np.sqrt(2)) < 1e-6
         assert abs(float(re[-1]) - 1 / np.sqrt(2)) < 1e-6
+
+
+class TestCapacityKernelsParity:
+    """Layout-free capacity variants vs the default paths."""
+
+    @pytest.mark.parametrize("qa,qb", [(7, 10), (9, 14), (8, 12), (10, 9)])
+    def test_midpair_matches_oracle(self, qa, qb):
+        n = 15
+        rng = np.random.default_rng(17)
+        q, _ = np.linalg.qr(rng.normal(size=(4, 4))
+                            + 1j * rng.normal(size=(4, 4)))
+        psi = rng.normal(size=1 << n) + 1j * rng.normal(size=1 << n)
+        psi = (psi / np.linalg.norm(psi)).astype(np.complex64)
+        want = oracle.apply_gate(psi.astype(np.complex128), [qa, qb], q)
+        re = jnp.asarray(psi.real)
+        im = jnp.asarray(psi.imag)
+        for inplace in (False, True):
+            ore, oim = pk.midpair_planar(
+                re, im, qa, qb, q, interpret=True, inplace=inplace)
+            got = np.asarray(ore) + 1j * np.asarray(oim)
+            np.testing.assert_allclose(got, want, atol=1e-6)
+
+    @pytest.mark.parametrize("qa,qb", [(10, 18), (11, 16), (12, 17)])
+    def test_pair_row_low_inplace(self, qa, qb):
+        re, im = _planes(19, 23)
+        U = _rand_u(4, 24)
+        a = pk.pair_update_planar(re, im, qa, qb, U, interpret=True)
+        b = pk.pair_update_planar(
+            re, im, qa, qb, U, interpret=True, inplace=True)
+        np.testing.assert_allclose(
+            np.asarray(a[0]), np.asarray(b[0]), atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(a[1]), np.asarray(b[1]), atol=1e-6)
+
+    def test_shear_diag_matches_direct(self):
+        from quantum_simulations_tpu.ops import dense as D
+
+        n = 14
+        rng = np.random.default_rng(5)
+        qs = (2, 8, 9, 12)
+        d = np.exp(1j * rng.uniform(-np.pi, np.pi, size=1 << len(qs)))
+        # include the tan-singular phases explicitly
+        d[0] = -1.0
+        d[1] = 1.0
+        d[2] = 1j
+        d[3] = -1j
+        re, im = _planes(n, 31)
+        a = D.apply_diag_planar(re, im, qs, d)
+        b = D.apply_diag_planar_shear(re, im, qs, d)
+        np.testing.assert_allclose(
+            np.asarray(a[0]), np.asarray(b[0]), atol=2e-6)
+        np.testing.assert_allclose(
+            np.asarray(a[1]), np.asarray(b[1]), atol=2e-6)
+
+    def test_window_qft_inplace_matches_oracle(self):
+        """QFT drives diag shears + midpair + multiswap at capacity."""
+        from quantum_simulations_tpu.runtime import simulator
+
+        n = 14
+        cd = lib.qft(n)
+        want = oracle.simulate(cd)
+        fn = simulator.build_window_circuit_fn(
+            cd, dtype=jnp.complex64, planar_io=True, inplace=True,
+            donate=False,
+        )
+        re, im = dense.zero_state_planar(n)
+        ore, oim = fn(re, im)
+        got = np.asarray(ore) + 1j * np.asarray(oim)
+        assert float(np.max(np.abs(got - want))) < 3e-6
+
+    @pytest.mark.parametrize("qs", [(2, 14), (5, 9), (6, 15)])
+    def test_shear_2q_mixed_matches_direct(self, qs):
+        from quantum_simulations_tpu.ops import dense as D
+
+        n = max(qs) + 2
+        rng = np.random.default_rng(7)
+        d = np.exp(1j * rng.uniform(-np.pi, np.pi, size=4))
+        d[2] = -1.0  # sign-flip branch
+        re, im = _planes(n, 41)
+        a = D.apply_diag_planar(re, im, qs, d)
+        b = D.apply_diag_planar_shear(re, im, qs, d)
+        np.testing.assert_allclose(
+            np.asarray(a[0]), np.asarray(b[0]), atol=2e-6)
+        np.testing.assert_allclose(
+            np.asarray(a[1]), np.asarray(b[1]), atol=2e-6)
+
+    def test_shear_row_gather_large_arity(self):
+        from quantum_simulations_tpu.ops import dense as D
+
+        n = 16
+        rng = np.random.default_rng(9)
+        qs = tuple(range(7, 16))
+        d = np.exp(1j * rng.uniform(-np.pi, np.pi, size=1 << 9))
+        re, im = _planes(n, 43)
+        a = D.apply_diag_planar(re, im, qs, d)
+        b = D.apply_diag_planar_shear(re, im, qs, d)
+        np.testing.assert_allclose(
+            np.asarray(a[0]), np.asarray(b[0]), atol=2e-6)
