@@ -258,6 +258,7 @@ def _fit_start(qubits: list[int], n: int, w: int) -> int | None:
 
 def compile_window_schedule(
     circuit_dict: dict, *, window: int = PANEL_W,
+    layout_safe_diag: bool = False,
 ) -> list:
     """Fixed-window panel schedule: NO rotations.
 
@@ -276,11 +277,14 @@ def compile_window_schedule(
         (tuple(g["qubits"]), G.gate_matrix(g["gate"], g["params"]), g["gate"])
         for g in cd["gates"]
     ]
-    return compile_window_ops(gate_list, cd["number_of_qubits"], window=window)
+    return compile_window_ops(gate_list, cd["number_of_qubits"],
+                              window=window,
+                              layout_safe_diag=layout_safe_diag)
 
 
 def compile_window_ops(
     gate_list: list, n: int, *, window: int = PANEL_W,
+    layout_safe_diag: bool = False,
 ) -> list:
     """Window-schedule a list of ``(qubits, U, name)`` ops directly.
 
@@ -385,7 +389,8 @@ def compile_window_ops(
         out.extend(generics)
         if not progress and pending:
             raise AssertionError("window scheduler stalled")  # unreachable
-    return _merge_swap_runs(_merge_diag_runs(out))
+    return _merge_swap_runs(
+        _merge_diag_runs(out, layout_safe=layout_safe_diag))
 
 
 # 13 high-qubit axes keep the phase literal at 2^13 c128 = 128 KB and
@@ -395,7 +400,8 @@ def compile_window_ops(
 DIAG_MERGE_MAX_QUBITS = 13
 
 
-def _merge_diag_runs(ops: list, max_qubits: int = DIAG_MERGE_MAX_QUBITS) -> list:
+def _merge_diag_runs(ops: list, max_qubits: int = DIAG_MERGE_MAX_QUBITS,
+                     *, layout_safe: bool = False) -> list:
     """Fuse consecutive diagonal PhysGateOps into combined-phase ops.
 
     Diagonal gates commute, so a run of them composes into one diagonal
@@ -403,15 +409,20 @@ def _merge_diag_runs(ops: list, max_qubits: int = DIAG_MERGE_MAX_QUBITS) -> list
     combined phase vector stays a small literal).  QFT-26's 229
     window-spanning CRs collapse to ~30 ops — the per-op count was
     what broke the remote compiler.
+
+    ``layout_safe`` (capacity tier, n >= 29): merged runs must stay
+    within one of ``ops/dense.apply_diag_planar_shear``'s layout-safe
+    view classes — all-row (>= 7) or all-low (< 10).  Lane+high mixes
+    stay singletons (the 2q split path handles those).  The default
+    tier merges freely: the direct broadcast takes any mix, and wider
+    unions mean fewer HBM passes.
     """
     out: list = []
     run: list[PhysGateOp] = []
 
     def _mergeable(union: set) -> bool:
-        # Merged runs must stay within one of the capacity tier's
-        # layout-safe view classes (ops/dense.apply_diag_planar_shear):
-        # all-row (>= 7) or all-low (< 10).  Lane+high mixes stay
-        # singletons (the 2q split path handles those).
+        if not layout_safe:
+            return True
         return all(q >= 7 for q in union) or all(q < 10 for q in union)
 
     def flush() -> None:

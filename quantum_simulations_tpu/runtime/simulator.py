@@ -259,7 +259,8 @@ def build_window_circuit_fn(
     if cached is not None:
         return cached
 
-    ops = compile_window_schedule(cd, window=window)
+    ops = compile_window_schedule(
+        cd, window=window, layout_safe_diag=bool(inplace))
 
     def body(re, im):
         for op in ops:
