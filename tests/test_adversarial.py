@@ -154,6 +154,32 @@ class TestDifferentialFuzz:
             cd, stripe_qubits=8, backend="host", dtype="complex128"))
         np.testing.assert_allclose(got, want, atol=ATOL)
 
+    @pytest.mark.parametrize("seed", range(4))
+    def test_inplace_capacity_tier_random(self, seed):
+        """The n>=29 capacity path (inplace + planar io) at fuzz scale.
+
+        Aliasing bugs (in/out block maps differing in an aliased
+        kernel) and the layout-safe diag-merge partition live exactly
+        in hostile gate mixes; run the same adversarial circuits
+        through the in-place window program and diff against the
+        oracle.  n=13 puts qubits on every in-place dispatch class:
+        low panel, row pair (>=10), midpair (7..9 x >=10), shears.
+        """
+        import jax.numpy as jnp
+
+        from quantum_simulations_tpu.ops import dense
+        from quantum_simulations_tpu.runtime import simulator
+
+        cd = _adversarial_circuit(13, 40, 600 + seed)
+        want = oracle.simulate(cd)
+        fn = simulator.build_window_circuit_fn(
+            cd, dtype=jnp.complex64, planar_io=True, inplace=True,
+            donate=False)
+        re, im = dense.zero_state_planar(13)
+        ore, oim = fn(re, im)
+        got = np.asarray(ore) + 1j * np.asarray(oim)
+        np.testing.assert_allclose(got, want, atol=3e-5)
+
     def test_native_tier_random(self):
         from quantum_simulations_tpu.oracle import native as native_oracle
 
