@@ -423,7 +423,11 @@ def _merge_diag_runs(ops: list, max_qubits: int = DIAG_MERGE_MAX_QUBITS,
     def _mergeable(union: set) -> bool:
         if not layout_safe:
             return True
-        return all(q >= 7 for q in union) or all(q < 10 for q in union)
+        # Shear-safe classes (ops/dense.apply_diag_planar_shear):
+        # <= 1 lane bit (row gather, optionally lane-masked) or
+        # <= 1 high bit (low broadcast tables, optionally row-masked).
+        return (sum(q < 7 for q in union) <= 1
+                or sum(q >= 10 for q in union) <= 1)
 
     def flush() -> None:
         nonlocal run

@@ -837,6 +837,52 @@ def _apply_shears(re, im, view, S, T, SI, need_sign):
     return r.reshape(re.size), i.reshape(im.size)
 
 
+def _low_table_shear(re, im, qubits, d, lane, fdt, *, row_mask_bit=None):
+    """Three-shear rotation with (1, 8, 2^lane) broadcast tables.
+
+    ``qubits`` all live below lane+3 (lane bits index the trailing
+    2^lane axis, bits [lane, lane+3) the middle 8-axis).
+    ``row_mask_bit`` (>= lane+3) restricts the rotation to rows with
+    that A-axis bit set — the masked factor of a (low-set, high-bit)
+    mixed diagonal.
+    """
+    import jax.numpy as jnp
+
+    m = len(qubits)
+    sign, t, si = _shear_tables(np.asarray(d, dtype=np.complex128))
+    need_sign = bool((sign < 0).any())
+    if not (np.any(t != 0.0) or np.any(si != 0.0) or need_sign):
+        return re, im
+
+    lanes = np.arange(1 << lane)
+    rows8 = np.arange(8)
+    sub = np.zeros((8, 1 << lane), dtype=np.int64)
+    for j, q in enumerate(qubits):
+        bit = (
+            (rows8[:, None] >> (q - lane)) & 1 if q >= lane
+            else (lanes[None, :] >> q) & 1
+        )
+        sub |= bit << (m - 1 - j)
+
+    A = re.size // (8 << lane)
+    mask = None
+    if row_mask_bit is not None:
+        a = jnp.arange(A)
+        mask = (((a >> (row_mask_bit - lane - 3)) & 1)
+                ).astype(fdt)[:, None, None]
+
+    def tab(v):
+        x = jnp.asarray(v[sub].astype(fdt))[None, :, :]
+        return x if mask is None else x * mask
+
+    S = None
+    if need_sign:
+        sv = jnp.asarray(sign[sub].astype(fdt))[None, :, :]
+        S = sv if mask is None else 1.0 + (sv - 1.0) * mask
+    return _apply_shears(
+        re, im, (A, 8, 1 << lane), S, tab(t), tab(si), need_sign)
+
+
 def apply_diag_planar_shear(re, im, qubits: tuple[int, ...], d: np.ndarray,
                             *, lane_bits: int | None = None):
     """Diagonal phases via in-place-friendly shears on LAYOUT-SAFE views.
@@ -850,8 +896,10 @@ def apply_diag_planar_shear(re, im, qubits: tuple[int, ...], d: np.ndarray,
       gathered in-graph from the 2^m tables, view (R, 128);
     * all qubits < lane+3 ("low"): (1, 8, 128) broadcast tables on an
       (A, 8, 128) view;
-    * 2q with one lane qubit and one row qubit >= lane+3: per-h lane
-      tables (1, 2, 1, 128) on an (A, 2, B, 128) view.
+    * exactly one lane qubit + any row qubits: factored into an
+      unmasked and a lane-masked row-gathered rotation (2 passes);
+    * exactly one high qubit (>= lane+3) + any low qubits: the mirror
+      factoring with broadcast tables, second pass row-masked.
 
     Falls back to the direct broadcast path for shapes outside these
     (the scheduler's merge partition guarantees they don't occur).
@@ -875,49 +923,53 @@ def apply_diag_planar_shear(re, im, qubits: tuple[int, ...], d: np.ndarray,
 
     if all(q < lane + 3 for q in qubits):
         # bits [0, lane+3): tables over (8 row values, 2^lane lanes)
-        lanes = np.arange(1 << lane)
-        rows8 = np.arange(8)
-        sub = np.zeros((8, 1 << lane), dtype=np.int64)
-        for j, q in enumerate(qubits):
-            bit = (
-                (rows8[:, None] >> (q - lane)) & 1 if q >= lane
-                else (lanes[None, :] >> q) & 1
-            )
-            sub |= bit << (m - 1 - j)
+        return _low_table_shear(re, im, qubits, d, lane, fdt)
 
-        def tab(v):
-            return jnp.asarray(v[sub].astype(fdt))[None, :, :]
-
-        A = N // (8 << lane)
-        return _apply_shears(
-            re, im, (A, 8, 1 << lane),
-            tab(sign) if need_sign else None, tab(t), tab(si), need_sign)
-
-    if m == 2 and min(qubits) < lane and max(qubits) >= lane:
-        # One lane bit + one row bit: factor the joint phase into two
+    if sum(q < lane for q in qubits) == 1:
+        # ONE lane bit + any row bits: factor the joint phase into two
         # per-row rotations, the second masked to the l==1 lanes —
         # rotation(theta(h,l)) = rot(theta(h,0)) o rot(dtheta(h)*[l]).
         # Both factors use (R,1)- and trailing-lane broadcasts, the
         # shapes XLA fuses (a (1,2,1,128) middle-axis broadcast was
         # MATERIALIZED at 4 GiB each and OOM'd the n=30 compile).
-        ql, qh = min(qubits), max(qubits)
+        # Collapses e.g. a QFT target-j<7 CR run (one lane control,
+        # many row phases) from per-gate passes to <= 2 passes.
+        ql = next(q for q in qubits if q < lane)
+        H = tuple(q for q in qubits if q >= lane)
+        pos = {q: m - 1 - j for j, q in enumerate(qubits)}
         dd = np.asarray(d, dtype=np.complex128)
         if dd.ndim == 2:
             dd = np.diag(dd)
 
-        def phase(h, l):
-            sub = 0
-            for j, q in enumerate(qubits):
-                bit = h if q == qh else l
-                sub |= bit << (m - 1 - j)
-            return dd[sub]
-
-        dA = np.array([phase(0, 0), phase(1, 0)])
-        dB = np.array([phase(0, 1) / phase(0, 0),
-                       phase(1, 1) / phase(1, 0)])
-        re, im = _row_gather_shear(re, im, (qh,), dA, lane, fdt)
-        return _row_gather_shear(re, im, (qh,), dB, lane, fdt,
+        hpat = np.arange(1 << len(H))
+        idx0 = np.zeros_like(hpat)
+        for j, q in enumerate(H):
+            idx0 |= ((hpat >> (len(H) - 1 - j)) & 1) << pos[q]
+        dA = dd[idx0]
+        dB = dd[idx0 | (1 << pos[ql])] / dA
+        re, im = _row_gather_shear(re, im, H, dA, lane, fdt)
+        return _row_gather_shear(re, im, H, dB, lane, fdt,
                                  lane_mask_bit=ql)
+
+    if sum(q >= lane + 3 for q in qubits) == 1:
+        # ONE high bit + any low bits (the mirror factoring): tables
+        # over the low set, the second pass masked to the h==1 rows.
+        # Collapses a QFT target-j>=10 CR run over lane controls.
+        qh = next(q for q in qubits if q >= lane + 3)
+        L = tuple(q for q in qubits if q < lane + 3)
+        pos = {q: m - 1 - j for j, q in enumerate(qubits)}
+        dd = np.asarray(d, dtype=np.complex128)
+        if dd.ndim == 2:
+            dd = np.diag(dd)
+
+        lpat = np.arange(1 << len(L))
+        idx0 = np.zeros_like(lpat)
+        for j, q in enumerate(L):
+            idx0 |= ((lpat >> (len(L) - 1 - j)) & 1) << pos[q]
+        dA = dd[idx0]
+        dB = dd[idx0 | (1 << pos[qh])] / dA
+        re, im = _low_table_shear(re, im, L, dA, lane, fdt)
+        return _low_table_shear(re, im, L, dB, lane, fdt, row_mask_bit=qh)
 
     # General mixed shape (shouldn't be emitted at capacity): direct.
     return apply_diag_planar(re, im, qubits, np.asarray(d))
