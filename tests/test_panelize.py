@@ -144,3 +144,18 @@ def test_multiswap_merge_and_semantics():
     for qs in [(15, 7), (14, 8), (13, 9)]:
         want = oracle.apply_gate(want, list(qs), G.SWAP())
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_layout_safe_schedule_stays_compact():
+    """Capacity merge classes must keep QFT pass counts near the free
+    partition (the singleton-mixed regression was 160 ops at n=30)."""
+    from quantum_simulations_tpu.circuit import library as lib
+    from quantum_simulations_tpu.circuit.panelize import (
+        compile_window_schedule,
+    )
+
+    for n in (17, 24):
+        cd = lib.qft(n)
+        free = compile_window_schedule(cd)
+        safe = compile_window_schedule(cd, layout_safe_diag=True)
+        assert len(safe) <= 2 * len(free) + 8, (n, len(free), len(safe))
