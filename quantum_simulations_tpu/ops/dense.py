@@ -804,17 +804,17 @@ def _row_gather_shear(re, im, qubits, d, lane, fdt, *, lane_mask_bit=None):
         lm = (((lanes >> lane_mask_bit) & 1)).astype(fdt)[None, :]
 
     def vec(tab):
+        # (R, 1) gather + optional (1, 128) mask stay SEPARATE factors:
+        # their product is a full plane (4 GiB at n=30).
         v = jnp.take(jnp.asarray(tab.astype(fdt)), rpat)[:, None]
-        return v if lm is None else v * lm
+        return (v,) if lm is None else (v, lm)
 
     S = None
     if need_sign:
-        if lm is None:
-            S = vec(sign)
-        else:
-            # masked sign: 1 on masked-out lanes
-            sv = jnp.take(jnp.asarray(sign.astype(fdt)), rpat)[:, None]
-            S = 1.0 + (sv - 1.0) * lm
+        # (sign - 1) factors: r*sign == r + r*(sign-1), and the masked
+        # form 1+(sv-1)*lm factors the same way.
+        sv = jnp.take(jnp.asarray((sign - 1.0).astype(fdt)), rpat)[:, None]
+        S = (sv,) if lm is None else (sv, lm)
     return _apply_shears(
         re, im, (R, 1 << lane), S, vec(t), vec(si), need_sign)
 
@@ -822,18 +822,35 @@ def _row_gather_shear(re, im, qubits, d, lane, fdt, *, lane_mask_bit=None):
 def _apply_shears(re, im, view, S, T, SI, need_sign):
     """The three-shear rotation with broadcast constants over `view`.
 
-    re/im come in flat and leave flat; every intermediate is ONE new
-    plane (peak liveness 3 planes — the in-place capacity requirement;
-    the direct complex broadcast keeps 4 live).
+    ``S``/``T``/``SI`` are TUPLES of broadcast factors, multiplied into
+    the plane one by one so XLA fuses each step into a single
+    elementwise pass (pre-multiplying a (R,1) by a (1,128) factor
+    would materialize a full plane).  ``S`` holds (sign-1) factors.
+
+    re/im come in flat and leave flat.  An optimization barrier after
+    every step pins the schedule so only ONE intermediate plane is
+    live at a time (3 planes total with the two state planes) — at
+    n=30 the unbarriered chain held two 4 GiB temps and overflowed a
+    16 GiB chip by 264 MB.
     """
+    import jax
+
+    def mul(x, fs):
+        for f in fs:
+            x = x * f
+        return x
+
     r = re.reshape(view)
     i = im.reshape(view)
     if need_sign:
-        r = r * S
-        i = i * S
-    r = r - T * i
-    i = i + SI * r
-    r = r - T * i
+        r = r + mul(r, S)
+        i = i + mul(i, S)
+        r, i = jax.lax.optimization_barrier((r, i))
+    r = r - mul(i, T)
+    r, i = jax.lax.optimization_barrier((r, i))
+    i = i + mul(r, SI)
+    r, i = jax.lax.optimization_barrier((r, i))
+    r = r - mul(i, T)
     return r.reshape(re.size), i.reshape(im.size)
 
 
@@ -872,13 +889,15 @@ def _low_table_shear(re, im, qubits, d, lane, fdt, *, row_mask_bit=None):
                 ).astype(fdt)[:, None, None]
 
     def tab(v):
+        # (1, 8, 128) table + optional (A, 1, 1) mask stay separate
+        # factors (their product is a full plane).
         x = jnp.asarray(v[sub].astype(fdt))[None, :, :]
-        return x if mask is None else x * mask
+        return (x,) if mask is None else (x, mask)
 
     S = None
     if need_sign:
-        sv = jnp.asarray(sign[sub].astype(fdt))[None, :, :]
-        S = sv if mask is None else 1.0 + (sv - 1.0) * mask
+        sv = jnp.asarray((sign - 1.0)[sub].astype(fdt))[None, :, :]
+        S = (sv,) if mask is None else (sv, mask)
     return _apply_shears(
         re, im, (A, 8, 1 << lane), S, tab(t), tab(si), need_sign)
 

@@ -269,6 +269,13 @@ def build_window_circuit_fn(
             # 4.4x slower at n=28.  Literal size stays small because
             # the scheduler emits minimal-width positioned panels.
             re, im = apply_window_op(re, im, op, dtype, interpret, inplace)
+            if inplace:
+                # Capacity mode: pin the schedule to one op at a time.
+                # Without the barrier XLA's latency-hiding scheduler
+                # overlaps independent table copies/broadcasts across
+                # ops and peak liveness reached 11 planes (44 GiB) on
+                # qft30 — the in-place design needs exactly 3.
+                re, im = jax.lax.optimization_barrier((re, im))
         return re, im
 
     if planar_io:
