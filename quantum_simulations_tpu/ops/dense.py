@@ -835,21 +835,32 @@ def _apply_shears(re, im, view, S, T, SI, need_sign):
     """
     import jax
 
+    N = re.size
+
     def mul(x, fs):
         for f in fs:
             x = x * f
         return x
+
+    def bar(r, i):
+        # Flatten BEFORE the barrier: each step's fusion then has the
+        # same flat {T(1024)} layout as the donated plane buffers, so
+        # buffer assignment can write it in place.  A tiled (A,8,128)
+        # output cannot share a flat arg buffer, which kept two 4 GiB
+        # temps live and overflowed n=30 by 265 MB.
+        r, i = jax.lax.optimization_barrier((r.reshape(N), i.reshape(N)))
+        return r.reshape(view), i.reshape(view)
 
     r = re.reshape(view)
     i = im.reshape(view)
     if need_sign:
         r = r + mul(r, S)
         i = i + mul(i, S)
-        r, i = jax.lax.optimization_barrier((r, i))
+        r, i = bar(r, i)
     r = r - mul(i, T)
-    r, i = jax.lax.optimization_barrier((r, i))
+    r, i = bar(r, i)
     i = i + mul(r, SI)
-    r, i = jax.lax.optimization_barrier((r, i))
+    r, i = bar(r, i)
     r = r - mul(i, T)
     return r.reshape(re.size), i.reshape(im.size)
 
