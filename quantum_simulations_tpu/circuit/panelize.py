@@ -72,6 +72,38 @@ class DiagOp:
     qubits: tuple[int, ...]
     d: np.ndarray
     name: str = "fused-diag"
+    #: Möbius phase decomposition: tuple of ((qubit subset), coeff)
+    #: with angle(d[pattern]) == sum of coeff over set subsets.  The
+    #: capacity tier's fused Pallas diag kernel consumes these (it
+    #: computes theta from index bits in-kernel — no 2^m gather).
+    terms: tuple = None
+
+
+def diag_phase_terms(qubits: tuple, d) -> dict:
+    """Möbius decomposition of a diagonal's phase into bit-product terms.
+
+    Returns {qubit-subset-tuple: coeff} with
+    ``angle(d[pattern]) == sum(coeff * prod(bits in subset))`` — an
+    exact linear identity (any 2*pi branch choice in ``np.angle``
+    cancels through cos/sin).  The () key is the global-phase term.
+    """
+    d = np.asarray(d)
+    if d.ndim == 2:
+        d = np.diag(d)
+    a = len(qubits)
+    theta = np.angle(d)
+    terms: dict = {}
+    for S in range(1 << a):
+        c, T = 0.0, S
+        while True:
+            c += (-1.0) ** bin(S ^ T).count("1") * theta[T]
+            if T == 0:
+                break
+            T = (T - 1) & S
+        if abs(c) > 1e-12:
+            qs = tuple(qubits[j] for j in range(a) if (S >> (a - 1 - j)) & 1)
+            terms[qs] = terms.get(qs, 0.0) + c
+    return terms
 
 
 def compile_panel_schedule(
@@ -448,6 +480,7 @@ def _merge_diag_runs(ops: list, max_qubits: int = DIAG_MERGE_MAX_QUBITS,
             pos_of = {q: j for j, q in enumerate(qubits)}
             d = np.ones(1 << m, dtype=np.complex128)
             idx = np.arange(1 << m)
+            terms: dict = {}
             for g in group:
                 sub = np.zeros(1 << m, dtype=np.int64)
                 mg = len(g.qubits)
@@ -455,13 +488,17 @@ def _merge_diag_runs(ops: list, max_qubits: int = DIAG_MERGE_MAX_QUBITS,
                     bit = (idx >> (m - 1 - pos_of[q])) & 1
                     sub |= bit << (mg - 1 - j)
                 d *= np.diag(g.U)[sub]
+                for qs, c in diag_phase_terms(g.qubits, np.diag(g.U)).items():
+                    k = tuple(sorted(qs))
+                    terms[k] = terms.get(k, 0.0) + c
             # Keep the 2^m VECTOR, never the 2^m x 2^m matrix: at the
             # m=13 merge cap np.diag(d) is a 67M-entry (1 GiB) literal
             # that every trace-time structure check then re-scans —
             # measured 14 MINUTES of lowering for QFT-26 (and the
             # arity-13 ops additionally fell past apply_gate_planar's
             # m<=12 diag branch into the complex fallback).
-            out.append(DiagOp(qubits, d))
+            out.append(DiagOp(qubits, d, terms=tuple(
+                (qs, c) for qs, c in terms.items() if abs(c) > 1e-12)))
 
     for op in ops:
         if (

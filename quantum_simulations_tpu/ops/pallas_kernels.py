@@ -738,6 +738,108 @@ def midpair_planar(
     return ore.reshape(N), oim.reshape(N)
 
 
+def _fused_diag_kernel(re_ref, im_ref, ore_ref, oim_ref, *,
+                       row_terms, lane_terms, cross_terms, ba):
+    # theta(idx) = sum coeff * prod(bits): row terms (all qubits >= 7)
+    # produce angles on (BA, 8, 1) — cos/sin amortized over the 128
+    # lanes; lane terms (< 7) on (1, 1, 128); cross terms compose as
+    # exact {0, gamma} rotations with ALGEBRAIC cos/sin (the bit
+    # product is 0/1), so no per-element transcendentals anywhere.
+    f = re_ref.dtype
+    ia = jax.lax.broadcasted_iota(jnp.int32, (ba, 8, 1), 0) \
+        + pl.program_id(0) * ba
+    ip = jax.lax.broadcasted_iota(jnp.int32, (ba, 8, 1), 1)
+    il = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 128), 2)
+
+    def bit(q):
+        if q < 7:
+            return ((il >> q) & 1).astype(f)
+        if q < 10:
+            return ((ip >> (q - 7)) & 1).astype(f)
+        return ((ia >> (q - 10)) & 1).astype(f)
+
+    def angle(terms, shape):
+        th = jnp.zeros(shape, f)
+        for qs, coeff in terms:
+            t = jnp.full(shape, coeff, f)
+            for q in qs:
+                t = t * bit(q)
+            th = th + t
+        return th
+
+    tr = angle(row_terms, (ba, 8, 1))
+    tl = angle(lane_terms, (1, 1, 128))
+    cr, sr = jnp.cos(tr), jnp.sin(tr)
+    cl, sl = jnp.cos(tl), jnp.sin(tl)
+    c = cr * cl - sr * sl
+    s = sr * cl + cr * sl
+    for qs, coeff in cross_terms:
+        m = jnp.ones((1, 1, 1), f)
+        for q in qs:
+            m = m * bit(q)
+        ck = 1.0 + (float(np.cos(coeff)) - 1.0) * m
+        sk = float(np.sin(coeff)) * m
+        c, s = c * ck - s * sk, s * ck + c * sk
+
+    r = re_ref[:]
+    i = im_ref[:]
+    ore_ref[:] = r * c - i * s
+    oim_ref[:] = r * s + i * c
+
+
+def fused_diag_planar(
+    re: jnp.ndarray,
+    im: jnp.ndarray,
+    terms,
+    *,
+    interpret: bool = False,
+    inplace: bool = False,
+):
+    """Merged diagonal run in ONE aliased pass — any qubit mix.
+
+    ``terms`` is the Möbius phase decomposition
+    (``circuit/panelize.diag_phase_terms``): theta(idx) = sum of
+    coeff * prod(index bits).  The kernel recomputes theta from iota
+    bit arithmetic per (A, 8, 128) block — no 2^m table, no gather,
+    no layout-unsafe broadcast — so the capacity tier applies a whole
+    diagonal run at elementwise speed where the XLA shear path needed
+    3-4 full HBM passes.  TPU analogue of the reference's fused
+    diagonal entry tables (``v3 parallel_gate_applicator.py:128-232``).
+    """
+    N = re.size
+    fdtype = re.dtype
+    A = N // (8 * 128)
+    row_terms, lane_terms, cross_terms = [], [], []
+    for qs, coeff in terms:
+        qs = tuple(qs)
+        if all(q >= 7 for q in qs) and qs:
+            row_terms.append((qs, float(coeff)))
+        elif all(q < 7 for q in qs):
+            lane_terms.append((qs, float(coeff)))  # incl. () global
+        else:
+            cross_terms.append((qs, float(coeff)))
+
+    BA = min(A, 16)
+    while A % BA:
+        BA //= 2
+    spec = pl.BlockSpec((BA, 8, 128), lambda a: (a, 0, 0),
+                        memory_space=pltpu.VMEM)
+    kern = functools.partial(
+        _fused_diag_kernel, row_terms=tuple(row_terms),
+        lane_terms=tuple(lane_terms), cross_terms=tuple(cross_terms),
+        ba=BA)
+    ore, oim = pl.pallas_call(
+        kern,
+        grid=(A // BA,),
+        in_specs=[spec, spec],
+        out_specs=[spec, spec],
+        out_shape=[jax.ShapeDtypeStruct((A, 8, 128), fdtype)] * 2,
+        input_output_aliases={0: 0, 1: 1} if inplace else {},
+        interpret=interpret,
+    )(re.reshape(A, 8, 128), im.reshape(A, 8, 128))
+    return ore.reshape(N), oim.reshape(N)
+
+
 def mixed_low_pair_supported(qa: int, qb: int, lane: int = 7) -> bool:
     hi, lo = max(qa, qb), min(qa, qb)
     return lo < lane and lane <= hi <= 9

@@ -162,13 +162,25 @@ def apply_window_op(re, im, op, dtype, interpret, inplace=False):
         return apply_multiswap_planar(re, im, op.pairs)
     if isinstance(op, DiagOp):
         if inplace:
+            if op.terms is not None and re.size >= 8 * 128:
+                # ONE aliased pass with in-kernel phase computation
+                # (the XLA shear path costs 3-4 full HBM passes and
+                # its layout-safe classes fragment the merge).
+                return pk.fused_diag_planar(
+                    re, im, op.terms, interpret=interpret, inplace=True)
             # The direct broadcast keeps 4 planes live (16 GiB at
             # n=30); the exact three-shear form peaks at 3.
             return dense.apply_diag_planar_shear(re, im, op.qubits, op.d)
         return dense.apply_diag_planar(re, im, op.qubits, op.d)
     if inplace and G.is_diagonal(op.U):
-        # Singleton diag gates (incl. the lane+high 2q mixes the merge
-        # partition leaves alone) take the layout-safe shear path.
+        # Singleton diag gates of any qubit mix: same fused kernel.
+        if re.size >= 8 * 128:
+            from ..circuit.panelize import diag_phase_terms
+
+            terms = tuple(diag_phase_terms(
+                op.qubits, np.diag(np.asarray(op.U))).items())
+            return pk.fused_diag_planar(
+                re, im, terms, interpret=interpret, inplace=True)
         return dense.apply_diag_planar_shear(
             re, im, op.qubits, np.diag(np.asarray(op.U)))
     if len(op.qubits) == 2 and not G.is_diagonal(op.U):
@@ -259,8 +271,11 @@ def build_window_circuit_fn(
     if cached is not None:
         return cached
 
-    ops = compile_window_schedule(
-        cd, window=window, layout_safe_diag=bool(inplace))
+    # Free diag merging in every mode: the capacity tier's fused diag
+    # kernel computes phases from index bits in-kernel, so any-mix
+    # merged runs are a single aliased pass (layout_safe_diag remains
+    # for the XLA shear fallback, which tests exercise directly).
+    ops = compile_window_schedule(cd, window=window)
 
     def body(re, im):
         for op in ops:

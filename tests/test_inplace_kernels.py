@@ -253,3 +253,40 @@ class TestCapacityKernelsParity:
         b = D.apply_diag_planar_shear(re, im, qs, d)
         np.testing.assert_allclose(
             np.asarray(a[0]), np.asarray(b[0]), atol=2e-6)
+
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_fused_diag_kernel_matches_direct(self, seed):
+        """One-pass fused diag (Möbius terms, in-kernel phases) vs the
+        direct broadcast, over an any-mix merged run."""
+        from quantum_simulations_tpu.circuit.panelize import (
+            diag_phase_terms,
+        )
+        from quantum_simulations_tpu.ops import dense as D
+
+        n = 15
+        rng = np.random.default_rng(50 + seed)
+        gates = []
+        for _ in range(6):
+            a = int(rng.integers(1, 4))
+            qs = tuple(int(q) for q in rng.choice(n, size=a, replace=False))
+            d = np.exp(1j * rng.uniform(-np.pi, np.pi, size=1 << a))
+            gates.append((qs, d))
+        # direct: sequential per-gate broadcasts
+        re, im = _planes(n, 60 + seed)
+        a_re, a_im = re, im
+        for qs, d in gates:
+            a_re, a_im = D.apply_diag_planar(a_re, a_im, qs, d)
+        # fused: accumulated Möbius terms, one kernel pass
+        terms: dict = {}
+        for qs, d in gates:
+            for k, c in diag_phase_terms(qs, d).items():
+                k = tuple(sorted(k))
+                terms[k] = terms.get(k, 0.0) + c
+        for inplace in (False, True):
+            b_re, b_im = pk.fused_diag_planar(
+                re, im, tuple(terms.items()), interpret=True,
+                inplace=inplace)
+            np.testing.assert_allclose(
+                np.asarray(a_re), np.asarray(b_re), atol=1e-5)
+            np.testing.assert_allclose(
+                np.asarray(a_im), np.asarray(b_im), atol=1e-5)
