@@ -113,8 +113,14 @@ def build_panel_circuit_fn(
     return jitted
 
 
-def apply_multiswap_planar(re, im, pairs):
-    """Disjoint high-bit SWAPs as ONE multi-axis transpose per plane."""
+def apply_multiswap_planar(re, im, pairs, inplace=False):
+    """Disjoint high-bit SWAPs as ONE multi-axis transpose per plane.
+
+    ``inplace`` (capacity tier): a barrier between the two plane
+    transposes keeps only ONE 4 GiB transpose temp live — scheduled
+    concurrently they overflowed n=30 by 261 MB.  (They are both
+    bandwidth-bound, so serializing costs nothing.)
+    """
     n = int(np.log2(re.size))
     bits = sorted({b for p in pairs for b in p}, reverse=True)
     shape: list[int] = []
@@ -128,9 +134,11 @@ def apply_multiswap_planar(re, im, pairs):
     perm = list(range(len(shape)))
     for a, b in pairs:
         perm[axis_of[a]], perm[axis_of[b]] = perm[axis_of[b]], perm[axis_of[a]]
-    re = jnp.transpose(re.reshape(shape), perm).reshape(re.size)
-    im = jnp.transpose(im.reshape(shape), perm).reshape(im.size)
-    return re, im
+    re_t = jnp.transpose(re.reshape(shape), perm).reshape(re.size)
+    if inplace:
+        re_t, im = jax.lax.optimization_barrier((re_t, im))
+    im_t = jnp.transpose(im.reshape(shape), perm).reshape(im.size)
+    return re_t, im_t
 
 
 def apply_window_op(re, im, op, dtype, interpret, inplace=False):
@@ -159,6 +167,33 @@ def apply_window_op(re, im, op, dtype, interpret, inplace=False):
         return pk.positioned_panel_planar(
             re, im, op.W, op.pos, interpret=interpret, inplace=inplace)
     if isinstance(op, MultiSwapOp):
+        if inplace:
+            # Capacity tier: the XLA multi-axis transpose materializes
+            # BOTH planes in a permuted physical layout that cannot
+            # reuse the donated flat buffers (2 x 4 GiB co-live temps
+            # overflowed n=30 by 261 MB even barriered).  Route each
+            # SWAP through the aliased pair kernels instead — one
+            # zero-temp pass per pair.
+            for qa, qb in op.pairs:
+                if pk.pair_update_supported(qa, qb) and min(qa, qb) >= 10:
+                    re, im = pk.pair_update_planar(
+                        re, im, qa, qb, dense._SWAP4,
+                        interpret=interpret, inplace=True)
+                elif pk.midpair_supported(qa, qb):
+                    re, im = pk.midpair_planar(
+                        re, im, qa, qb, dense._SWAP4,
+                        interpret=interpret, inplace=True)
+                else:
+                    # span < 7 with min >= 7 (e.g. (8,9), (10,12)):
+                    # a one-gate positioned panel covers it.
+                    s = min(qa, qb)
+                    w = max(qa, qb) - s + 1
+                    W = dense.compose_low_panel(
+                        [((qa - s, qb - s), dense._SWAP4)], w)
+                    re, im = pk.positioned_panel_planar(
+                        re, im, W, s, interpret=interpret, inplace=True)
+                re, im = jax.lax.optimization_barrier((re, im))
+            return re, im
         return apply_multiswap_planar(re, im, op.pairs)
     if isinstance(op, DiagOp):
         if inplace:
