@@ -86,6 +86,38 @@ def run(n: int = 26, dtype="complex64", reps: int = 3, iters: int = 16) -> dict:
     except Exception as e:
         results["pallas_lane_panel"] = {"error": str(e)[:120]}
 
+    # Fused-diag kernel (capacity tier): a merged 6-gate mixed-qubit
+    # diagonal run in one aliased pass, phases from in-kernel iota.
+    from ..circuit.panelize import diag_phase_terms
+    from ..ops.pallas_kernels import fused_diag_planar
+
+    rng = np.random.default_rng(7)
+    terms: dict = {}
+    for qs in [(3, n - 3), (n - 1,), (5,), (8, 2), (n - 2, 9), (0,)]:
+        dv = np.exp(1j * rng.uniform(-np.pi, np.pi, size=1 << len(qs)))
+        for k, c in diag_phase_terms(qs, dv).items():
+            k = tuple(sorted(k))
+            terms[k] = terms.get(k, 0.0) + c
+    terms_t = tuple(terms.items())
+
+    def prog_fd():
+        re = jnp.full(1 << n, 0.5, jnp.float32)
+        im = jnp.full(1 << n, 0.5, jnp.float32)
+        for _ in range(iters):
+            re, im = jax.lax.optimization_barrier(
+                fused_diag_planar(re, im, terms_t, inplace=True))
+        return jnp.sum(re * 1e-9) + jnp.sum(im * 1e-9)
+    try:
+        c = jax.jit(prog_fd).lower().compile()
+        dt = timeit(lambda: float(jax.device_get(c())), reps)
+        per = max((dt - FETCH_LATENCY_S) / iters, 1e-9)
+        results["pallas_fused_diag_6gates"] = {
+            "s_per_pass": round(per, 5),
+            "GBs": round(2 * nbytes / per / 1e9, 1),
+        }
+    except Exception as e:
+        results["pallas_fused_diag_6gates"] = {"error": str(e)[:120]}
+
     peak = HBM_PEAK_GBS.get("v5e")
     for v in results.values():
         if "GBs" in v:

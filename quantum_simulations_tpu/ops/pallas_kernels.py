@@ -819,7 +819,11 @@ def fused_diag_planar(
         else:
             cross_terms.append((qs, float(coeff)))
 
-    BA = min(A, 16)
+    # 64-row blocks (256 KB per plane buffer).  Measured 415-460 GB/s
+    # on v5e at BA 16 and 64 (within run-to-run noise): the kernel is
+    # VPU-bound on the per-element angle-composition math, not grid
+    # overhead — one pass still beats N broadcast passes per gate.
+    BA = min(A, 64)
     while A % BA:
         BA //= 2
     spec = pl.BlockSpec((BA, 8, 128), lambda a: (a, 0, 0),
