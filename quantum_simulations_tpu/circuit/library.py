@@ -219,6 +219,149 @@ def sycamore_like(n: int, depth: int = 8, seed: int = 11) -> dict:
     return _c(n, gates)
 
 
+def bernstein_vazirani(n: int, secret: int | None = None) -> dict:
+    """BV oracle circuit on n qubits (data n-1, ancilla = qubit n-1).
+
+    Measuring the data register yields ``secret`` with certainty —
+    the matrix runner checks that analytically.  Reference analogue:
+    the bv family of the MQT matrix (``bench/mqt_bench_runner.py``).
+    """
+    if secret is None:
+        secret = (1 << (n - 1)) - 1 if n % 2 else 0b101 % (1 << (n - 1))
+    a = n - 1
+    gates = [_g("X", [a]), _g("H", [a])]
+    gates += [_g("H", [q]) for q in range(n - 1)]
+    for q in range(n - 1):
+        if (secret >> q) & 1:
+            gates.append(_g("CNOT", [q, a]))
+    gates += [_g("H", [q]) for q in range(n - 1)]
+    return _c(n, gates)
+
+
+def deutsch_jozsa(n: int, balanced: bool = True) -> dict:
+    """DJ on n qubits (ancilla = qubit n-1); balanced oracle = parity."""
+    a = n - 1
+    gates = [_g("X", [a]), _g("H", [a])]
+    gates += [_g("H", [q]) for q in range(n - 1)]
+    if balanced:
+        for q in range(n - 1):
+            gates.append(_g("CNOT", [q, a]))
+    gates += [_g("H", [q]) for q in range(n - 1)]
+    return _c(n, gates)
+
+
+def graph_state(n: int, seed: int = 5) -> dict:
+    """Random graph state: H wall + CZ on each edge."""
+    rng = _random.Random(seed)
+    gates = [_g("H", [q]) for q in range(n)]
+    for qa in range(n):
+        for qb in range(qa + 1, n):
+            if rng.random() < min(1.0, 3.0 / n):
+                gates.append(_g("CZ", [qa, qb]))
+    return _c(n, gates)
+
+
+def hidden_shift(n: int, shift: int | None = None) -> dict:
+    """Hidden-shift for the bent function f(x)=prod of CZ pairs.
+
+    The output state is |shift> exactly (n even uses all pairs).
+    """
+    if shift is None:
+        shift = 0b0110 % (1 << n)
+    gates = [_g("H", [q]) for q in range(n)]
+    gates += [_g("X", [q]) for q in range(n) if (shift >> q) & 1]
+    gates += [_g("CZ", [q, q + 1]) for q in range(0, n - 1, 2)]
+    gates += [_g("X", [q]) for q in range(n) if (shift >> q) & 1]
+    gates += [_g("H", [q]) for q in range(n)]
+    gates += [_g("CZ", [q, q + 1]) for q in range(0, n - 1, 2)]
+    gates += [_g("H", [q]) for q in range(n)]
+    return _c(n, gates)
+
+
+def grover(n: int, iterations: int | None = None) -> dict:
+    """Grover amplification on n qubits (no ancillas).
+
+    The phase oracle is an exact multi-controlled Z for n <= 3
+    (Z/CZ/CCZ); for n >= 4 it marks the subspace whose top three bits
+    are 1 (one CCZ) — a well-defined amplification benchmark that
+    exercises the CCZ/X/H diffuser structure at any size without
+    ancilla-based MCX decompositions.
+    """
+    import math as _m
+
+    if iterations is None:
+        k = min(n, 3)  # marked fraction is 2^-min(n,3)
+        iterations = max(1, int(_m.pi / 4 * _m.sqrt(2 ** k)))
+
+    def oracle() -> list[dict]:
+        if n == 1:
+            return [_g("Z", [0])]
+        if n == 2:
+            return [_g("CZ", [0, 1])]
+        return [_g("CCZ", [n - 3, n - 2, n - 1])]
+
+    gates = [_g("H", [q]) for q in range(n)]
+    for _ in range(iterations):
+        gates += oracle()
+        gates += [_g("H", [q]) for q in range(n)]
+        gates += [_g("X", [q]) for q in range(n)]
+        gates += oracle() if n <= 3 else [_g("CCZ", [n - 3, n - 2, n - 1])]
+        gates += [_g("X", [q]) for q in range(n)]
+        gates += [_g("H", [q]) for q in range(n)]
+    return _c(n, gates)
+
+
+def trotter_ising(n: int, steps: int = 3, dt: float = 0.15) -> dict:
+    """First-order Trotter of the transverse-field Ising chain."""
+    gates: list[dict] = []
+    for _ in range(steps):
+        for q in range(0, n - 1, 2):
+            gates.append(_g("RZZ", [q, q + 1], {"theta": 2 * dt}))
+        for q in range(1, n - 1, 2):
+            gates.append(_g("RZZ", [q, q + 1], {"theta": 2 * dt}))
+        for q in range(n):
+            gates.append(_g("RX", [q], {"theta": 2 * dt}))
+    return _c(n, gates)
+
+
+def vqe_ansatz(n: int, layers: int = 3, seed: int = 9) -> dict:
+    """Hardware-efficient ansatz: RY/RZ walls + CNOT ladders."""
+    rng = _random.Random(seed)
+    gates: list[dict] = []
+    for _ in range(layers):
+        for q in range(n):
+            gates.append(_g("RY", [q], {"theta": rng.uniform(-1.5, 1.5)}))
+            gates.append(_g("RZ", [q], {"theta": rng.uniform(-1.5, 1.5)}))
+        for q in range(n - 1):
+            gates.append(_g("CNOT", [q, q + 1]))
+    for q in range(n):
+        gates.append(_g("RY", [q], {"theta": rng.uniform(-1.5, 1.5)}))
+    return _c(n, gates)
+
+
+def qft_adder(n: int, addend: int | None = None) -> dict:
+    """Draper QFT adder: |x> -> |x + addend mod 2^n>.
+
+    QFT, per-qubit P rotations encoding the addend, inverse QFT —
+    applied to |0> it produces |addend> exactly (matrix-checkable).
+    """
+    import math as _m
+
+    if addend is None:
+        addend = 0b1011 % (1 << n)
+    gates = list(qft(n)["gates"])
+    for j in range(n):
+        theta = 0.0
+        for k in range(n - j):
+            if (addend >> k) & 1:
+                theta += 2 * _m.pi / (1 << (n - j - k))
+        theta %= 2 * _m.pi
+        if theta:
+            gates.append(_g("P", [j], {"phi": theta}))
+    gates += _inverse_qft_gates(n)
+    return _c(n, gates)
+
+
 FAMILIES = {
     "bell": lambda n=2: bell(),
     "ghz": ghz,
@@ -231,4 +374,12 @@ FAMILIES = {
     "nonstab": non_stabilizer,
     "qaoa": qaoa_maxcut,
     "sycamore": sycamore_like,
+    "bv": bernstein_vazirani,
+    "dj": deutsch_jozsa,
+    "graph_state": graph_state,
+    "hidden_shift": hidden_shift,
+    "grover": grover,
+    "trotter_ising": trotter_ising,
+    "vqe": vqe_ansatz,
+    "qft_adder": qft_adder,
 }
