@@ -362,6 +362,53 @@ def qft_adder(n: int, addend: int | None = None) -> dict:
     return _c(n, gates)
 
 
+def su2_random(n: int, layers: int = 2, seed: int = 13) -> dict:
+    """EfficientSU2-style ansatz: RY+RZ walls, circular CNOT entangler."""
+    rng = _random.Random(seed)
+    gates: list[dict] = []
+    for _ in range(layers):
+        for q in range(n):
+            gates.append(_g("RY", [q], {"theta": rng.uniform(-3.1, 3.1)}))
+            gates.append(_g("RZ", [q], {"theta": rng.uniform(-3.1, 3.1)}))
+        for q in range(n):
+            gates.append(_g("CNOT", [q, (q + 1) % n]))
+    for q in range(n):
+        gates.append(_g("RY", [q], {"theta": rng.uniform(-3.1, 3.1)}))
+    return _c(n, gates)
+
+
+def two_local_random(n: int, layers: int = 2, seed: int = 21) -> dict:
+    """TwoLocal-style ansatz: RY walls + full CZ entangling blocks."""
+    rng = _random.Random(seed)
+    gates: list[dict] = []
+    for _ in range(layers):
+        for q in range(n):
+            gates.append(_g("RY", [q], {"theta": rng.uniform(-3.1, 3.1)}))
+        for qa in range(n - 1):
+            gates.append(_g("CZ", [qa, qa + 1]))
+            if qa + 2 < n:
+                gates.append(_g("CZ", [qa, qa + 2]))
+    for q in range(n):
+        gates.append(_g("RY", [q], {"theta": rng.uniform(-3.1, 3.1)}))
+    return _c(n, gates)
+
+
+def portfolio_qaoa(n: int, p: int = 2, seed: int = 17) -> dict:
+    """QAOA on a FULLY-CONNECTED RZZ cost (portfolio-optimization style)."""
+    rng = _random.Random(seed)
+    gates = [_g("H", [q]) for q in range(n)]
+    for _ in range(p):
+        gamma = rng.uniform(0.1, 1.0)
+        for qa in range(n):
+            for qb in range(qa + 1, n):
+                gates.append(_g("RZZ", [qa, qb],
+                               {"theta": gamma * rng.uniform(0.2, 1.0)}))
+        beta = rng.uniform(0.1, 1.0)
+        for q in range(n):
+            gates.append(_g("RX", [q], {"theta": 2 * beta}))
+    return _c(n, gates)
+
+
 FAMILIES = {
     "bell": lambda n=2: bell(),
     "ghz": ghz,
@@ -382,4 +429,7 @@ FAMILIES = {
     "trotter_ising": trotter_ising,
     "vqe": vqe_ansatz,
     "qft_adder": qft_adder,
+    "su2": su2_random,
+    "two_local": two_local_random,
+    "portfolio_qaoa": portfolio_qaoa,
 }

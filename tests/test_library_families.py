@@ -62,7 +62,7 @@ def test_grover_amplifies_marked(n):
     assert marked > 3 * 2.0 ** -min(n, 3)
 
 
-@pytest.mark.parametrize("fam", ["graph_state", "trotter_ising", "vqe"])
+@pytest.mark.parametrize("fam", ["graph_state", "trotter_ising", "vqe", "su2", "two_local", "portfolio_qaoa"])
 def test_parametric_families_norm(fam):
     psi = oracle.simulate(lib.FAMILIES[fam](8))
     assert abs(np.linalg.norm(psi) - 1.0) < 1e-9
@@ -78,4 +78,4 @@ def test_family_registry_complete():
         for n in (8, 11):
             cd = build(n)
             validate_circuit_dict(cd)
-    assert len(lib.FAMILIES) >= 19
+    assert len(lib.FAMILIES) >= 22
