@@ -773,19 +773,12 @@ def _fused_diag_kernel(re_ref, im_ref, ore_ref, oim_ref, *,
     cl, sl = jnp.cos(tl), jnp.sin(tl)
     c = cr * cl - sr * sl
     s = sr * cl + cr * sl
-    # cross_terms arrive GROUPED by row-bit subset: each group is one
-    # rotation by mask(row bits) * phi(lanes) — phi's cos/sin are
-    # (1,1,128) vectors (cheap), and the {0,1} row mask keeps the
-    # composition algebraic.  A QFT target-j run (one row bit, many
-    # lane controls) is ONE group regardless of gate count.
-    for row_qs, lane_group in cross_terms:
-        m = jnp.ones((ba, 8, 1), f)
-        for q in row_qs:
+    for qs, coeff in cross_terms:
+        m = jnp.ones((1, 1, 1), f)
+        for q in qs:
             m = m * bit(q)
-        phi = angle(lane_group, (1, 1, 128))
-        cp, sp = jnp.cos(phi), jnp.sin(phi)
-        ck = 1.0 + (cp - 1.0) * m
-        sk = sp * m
+        ck = 1.0 + (float(np.cos(coeff)) - 1.0) * m
+        sk = float(np.sin(coeff)) * m
         c, s = c * ck - s * sk, s * ck + c * sk
 
     r = re_ref[:]
@@ -816,8 +809,7 @@ def fused_diag_planar(
     N = re.size
     fdtype = re.dtype
     A = N // (8 * 128)
-    row_terms, lane_terms = [], []
-    cross_groups: dict = {}
+    row_terms, lane_terms, cross_terms = [], [], []
     for qs, coeff in terms:
         qs = tuple(qs)
         if all(q >= 7 for q in qs) and qs:
@@ -825,12 +817,7 @@ def fused_diag_planar(
         elif all(q < 7 for q in qs):
             lane_terms.append((qs, float(coeff)))  # incl. () global
         else:
-            row_qs = tuple(sorted(q for q in qs if q >= 7))
-            lane_qs = tuple(sorted(q for q in qs if q < 7))
-            cross_groups.setdefault(row_qs, []).append(
-                (lane_qs, float(coeff)))
-    cross_terms = tuple(
-        (rq, tuple(lg)) for rq, lg in cross_groups.items())
+            cross_terms.append((qs, float(coeff)))
 
     # 64-row blocks (256 KB per plane buffer).  Measured 415-460 GB/s
     # on v5e at BA 16 and 64 (within run-to-run noise): the kernel is
@@ -843,7 +830,7 @@ def fused_diag_planar(
                         memory_space=pltpu.VMEM)
     kern = functools.partial(
         _fused_diag_kernel, row_terms=tuple(row_terms),
-        lane_terms=tuple(lane_terms), cross_terms=cross_terms,
+        lane_terms=tuple(lane_terms), cross_terms=tuple(cross_terms),
         ba=BA)
     ore, oim = pl.pallas_call(
         kern,
