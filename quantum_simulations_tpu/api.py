@@ -101,7 +101,7 @@ def simulate(circuit_dict: dict, config: SimulatorConfig | None = None,
 
     return simulator.simulate_np(
         cd, dtype=cfg.dtype, mode=cfg.mode, use_fusion=cfg.use_fusion,
-        panel_width=cfg.panel_width,
+        panel_width=cfg.panel_width, segment_gates=cfg.segment_gates,
     )
 
 

@@ -351,6 +351,7 @@ def simulate(
     panel_width: int | None = 7,
     mode: str = "fused",
     initial_state=None,
+    segment_gates: int | None = None,
 ) -> jnp.ndarray:
     """Run a circuit on one device, return the final statevector.
 
@@ -358,9 +359,37 @@ def simulate(
     chains).  ``mode='panel'``: rotating-panel schedule — fewer HBM
     passes and a far smaller compiled program (the production mode for
     deep circuits).
+
+    ``segment_gates``: compile the circuit as several smaller programs
+    of at most ~``segment_gates`` gates each instead of one monolith,
+    cutting at the lowest-qubit-locality boundaries
+    (:func:`..circuit.dag.partition` ``strategy='locality'``).  Bounds
+    per-program compile time/memory for very deep circuits — the first
+    Mosaic compile of a big window program through the remote compile
+    service can take tens of minutes, and segments with repeated
+    structure share the persistent compile cache.  (The reference
+    bounds work per execution unit the same way via its gate batcher,
+    ``v2_spark/src/gate_batcher.py:40``, and v3 partition execution,
+    ``v3_hisvsim_spark/src/hisvsim/partition_adapter.py:34-180``.)
     """
     cd = validate_circuit_dict(circuit_dict)
     n = cd["number_of_qubits"]
+    if segment_gates is not None and len(cd["gates"]) > segment_gates:
+        from ..circuit.dag import partition
+
+        n_seg = -(-len(cd["gates"]) // segment_gates)
+        parts = partition(cd, n_seg, strategy="locality")
+        psi = (dense.zero_state(n, dtype) if initial_state is None
+               else jnp.asarray(initial_state, dtype=dtype))
+        for part in parts:
+            if not part:
+                continue
+            sub = {"number_of_qubits": n,
+                   "gates": [cd["gates"][i] for i in part]}
+            psi = simulate(sub, dtype=dtype, use_fusion=use_fusion,
+                           panel_width=panel_width, mode=mode,
+                           initial_state=psi)
+        return psi
     if mode == "auto":
         # Window mode wins when most gates pack into panels (measured
         # 358x vs 267x vs ~unusable per-gate unroll at n=28); fall back

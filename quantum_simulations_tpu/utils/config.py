@@ -20,6 +20,9 @@ class SimulatorConfig:
     use_fusion: bool = True
     panel_width: int | None = 7
     n_devices: int | None = None     # mesh size (None = all available)
+    segment_gates: int | None = None  # split deep circuits into
+    # locality-partitioned sub-programs of <= this many gates each
+    # (bounds per-program compile time; None = one program)
 
     # Scheduling
     use_staging: bool = False

@@ -158,3 +158,29 @@ def test_partition_respects_order_within():
         order = [g for p in parts for g in sorted(p)]
         if strategy == "greedy":
             assert order == list(range(len(cd["gates"])))
+
+
+def test_segmented_compilation_matches_oracle():
+    # segment_gates wires dag.partition(strategy="locality") into the
+    # execution path: a deep circuit compiles as several bounded
+    # programs whose composition must equal the monolithic result.
+    cd = lib.random_circuit(8, 60, seed=11)
+    ref = oracle.simulate(cd)
+    got = api.simulate(cd, SimulatorConfig(segment_gates=12))
+    np.testing.assert_allclose(got, ref.astype(np.complex64), atol=1e-5)
+
+
+def test_segmented_window_mode_matches_oracle():
+    cd = lib.qft(10)
+    ref = oracle.simulate(cd)
+    got = api.simulate(
+        cd, SimulatorConfig(mode="window", segment_gates=10))
+    phase = ref.conj() @ got.astype(np.complex128)
+    assert abs(abs(phase) - 1.0) < 1e-5
+
+
+def test_segmented_noop_when_shallow():
+    cd = lib.ghz(5)
+    got = api.simulate(cd, SimulatorConfig(segment_gates=100))
+    ref = oracle.simulate(cd)
+    np.testing.assert_allclose(got, ref.astype(np.complex64), atol=1e-6)
