@@ -43,6 +43,9 @@ def main(argv=None) -> int:
     common.add_argument("--no-fusion", action="store_true")
     common.add_argument("--staging", action="store_true")
     common.add_argument("--work-dir", default=None)
+    common.add_argument("--segment-gates", type=int, default=None,
+                        help="compile as locality-cut sub-programs of "
+                             "<= N gates (bounds compile time)")
 
     p_run = sub.add_parser("run", parents=[common],
                            help="simulate; print state summary")
@@ -55,6 +58,14 @@ def main(argv=None) -> int:
 
     sub.add_parser("stats", parents=[common],
                    help="compile statistics (fusion/staging/panel)")
+
+    p_export = sub.add_parser(
+        "export", parents=[common],
+        help="serialise the circuit (qasm to stdout, dot for the DAG)")
+    p_export.add_argument("--format", default="qasm",
+                          choices=["qasm", "dot", "json"])
+    p_export.add_argument("--partitions", type=int, default=None,
+                          help="dot only: cluster by partition()")
 
     p_bench = sub.add_parser("bench")
     p_bench.add_argument("which", choices=[
@@ -71,6 +82,21 @@ def main(argv=None) -> int:
         return 0
 
     cd = _load_circuit(args.circuit)
+
+    if args.cmd == "export":
+        if args.format == "qasm":
+            from .circuit.export_qasm import to_qasm
+
+            sys.stdout.write(to_qasm(cd))
+        elif args.format == "dot":
+            from .circuit.dag import partition, to_dot
+
+            parts = (partition(cd, args.partitions, "locality")
+                     if args.partitions else None)
+            sys.stdout.write(to_dot(cd, parts))
+        else:
+            print(json.dumps(cd, indent=1))
+        return 0
 
     if args.cmd == "stats":
         from .circuit.contract import circuit_depth, gate_counts
@@ -97,7 +123,7 @@ def main(argv=None) -> int:
         dtype=args.dtype, mode=args.mode, n_devices=args.devices,
         stripe_qubits=args.stripe_qubits, spill_backend=args.spill_backend,
         sparse=args.sparse, use_fusion=not args.no_fusion,
-        use_staging=args.staging,
+        use_staging=args.staging, segment_gates=args.segment_gates,
     )
 
     if args.cmd == "sample":

@@ -141,6 +141,39 @@ def partition(
     raise ValueError(f"unknown strategy {strategy!r}")
 
 
+def to_dot(circuit_dict: dict, parts: list[list[int]] | None = None) -> str:
+    """Render the dependency DAG as Graphviz dot text.
+
+    Parity with the reference's partition-file bridge (v3's adapter
+    emits HiSVSIM dot partition files,
+    ``v3_hisvsim_spark/src/hisvsim/partition_adapter.py:34-180``; the
+    QASMBench corpus ships ``*_part_*`` dot files).  When ``parts`` is
+    given (from :func:`partition`), each partition becomes a cluster
+    subgraph so cut quality is visible at a glance.
+    """
+    graph = CircuitGraph.from_circuit(circuit_dict)
+
+    def node(i: int) -> str:
+        g = graph.gates[i]
+        qs = ",".join(str(q) for q in g["qubits"])
+        return f'  g{i} [label="{i}: {g["gate"]} q{qs}"];'
+
+    lines = ["digraph circuit {", "  rankdir=LR;"]
+    if parts is None:
+        lines += [node(i) for i in range(len(graph.gates))]
+    else:
+        for pi, p in enumerate(parts):
+            if not p:
+                continue
+            lines.append(f"  subgraph cluster_{pi} {{")
+            lines.append(f'    label="partition {pi}";')
+            lines += ["  " + node(i) for i in p]
+            lines.append("  }")
+    lines += [f"  g{i} -> g{j};" for i, j in graph.edges]
+    lines.append("}")
+    return "\n".join(lines) + "\n"
+
+
 def partition_stats(circuit_dict: dict, parts: list[list[int]]) -> dict:
     graph = CircuitGraph.from_circuit(circuit_dict)
     sizes = [len(p) for p in parts]

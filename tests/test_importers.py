@@ -148,3 +148,98 @@ def test_broadcast_width_mismatch_raises():
     """
     with pytest.raises(QasmError, match="register widths"):
         qasm_to_dict(src)
+
+
+# ---------------------------------------------------------------------------
+# QASM export round trip (export_qasm -> import_qasm -> same state)
+# ---------------------------------------------------------------------------
+
+class TestQasmExport:
+    def _roundtrip(self, cd, atol=1e-9):
+        from quantum_simulations_tpu.circuit.export_qasm import to_qasm
+        from quantum_simulations_tpu.circuit.import_qasm import qasm_to_dict
+        from quantum_simulations_tpu.oracle import dense_numpy as oracle
+
+        back = qasm_to_dict(to_qasm(cd))
+        assert back["number_of_qubits"] == cd["number_of_qubits"]
+        a = oracle.simulate(cd)
+        b = oracle.simulate(back)
+        np.testing.assert_allclose(a, b, atol=atol)
+
+    def test_library_families_roundtrip(self):
+        from quantum_simulations_tpu.circuit import library as lib
+
+        for cd in (lib.bell(), lib.ghz(4), lib.qft(5), lib.w_state(4),
+                   lib.qpe(4), lib.random_circuit(5, 30, seed=2),
+                   lib.qaoa_maxcut(5), lib.trotter_ising(5),
+                   lib.grover(4), lib.su2_random(4)):
+            self._roundtrip(cd)
+
+    def test_every_gate_roundtrip(self):
+        from quantum_simulations_tpu.circuit import gates as G
+
+        rng = np.random.default_rng(5)
+        gates = []
+        for q, name in enumerate(["H", "X", "Y", "Z", "S", "T", "SDG",
+                                  "TDG", "SX"]):
+            gates.append({"qubits": [q % 4], "gate": name})
+        for name in ["RX", "RY", "RZ", "P"]:
+            gates.append({"qubits": [1], "gate": name,
+                          "params": {("phi" if name == "P" else "theta"):
+                                     float(rng.uniform(-3, 3))}})
+        gates.append({"qubits": [2], "gate": "R", "params": {"k": 3}})
+        gates.append({"qubits": [2], "gate": "G", "params": {"p": 4}})
+        gates.append({"qubits": [0], "gate": "U",
+                      "params": {"theta": 0.3, "phi": -1.2, "lam": 2.1}})
+        gates.append({"qubits": [3], "gate": "U2",
+                      "params": {"phi": 0.7, "lam": -0.4}})
+        for name in ["CNOT", "SWAP", "CZ", "CY"]:
+            gates.append({"qubits": [0, 1], "gate": name})
+        gates.append({"qubits": [1, 2], "gate": "CR", "params": {"k": 2}})
+        for name in ["CP", "CRX", "CRY", "CRZ", "RXX", "RYY", "RZZ"]:
+            key = "phi" if name == "CP" else "theta"
+            gates.append({"qubits": [2, 3], "gate": name,
+                          "params": {key: float(rng.uniform(-3, 3))}})
+        for name in ["CCX", "CCZ", "CSWAP"]:
+            gates.append({"qubits": [0, 1, 2], "gate": name})
+        cd = {"number_of_qubits": 4, "gates": gates}
+        self._roundtrip(cd)
+
+    @pytest.mark.parametrize("exponent", [0, 1, 2, 3, -1])
+    def test_cu_decomposition(self, exponent):
+        # CU has no QASM primitive; the exporter emits the exact ABC
+        # decomposition (incl. global phase via p() on the control).
+        rng = np.random.default_rng(7 + exponent)
+        A = rng.normal(size=(2, 2)) + 1j * rng.normal(size=(2, 2))
+        Q, _ = np.linalg.qr(A)
+        cd = {"number_of_qubits": 3, "gates": [
+            {"qubits": [0], "gate": "H"},
+            {"qubits": [2], "gate": "H"},
+            {"qubits": [0, 2], "gate": "CU",
+             "params": {"U": Q.tolist(), "exponent": exponent}},
+        ]}
+        self._roundtrip(cd)
+
+    def test_cu_diagonal_and_offdiagonal_edge(self):
+        for U in (np.diag([1.0, np.exp(0.9j)]),            # gamma == 0
+                  np.array([[0, 1j], [1j, 0]]),            # gamma == pi
+                  np.eye(2)):
+            cd = {"number_of_qubits": 2, "gates": [
+                {"qubits": [0], "gate": "H"},
+                {"qubits": [1], "gate": "H"},
+                {"qubits": [0, 1], "gate": "CU",
+                 "params": {"U": np.asarray(U).tolist(), "exponent": 1}},
+            ]}
+            self._roundtrip(cd)
+
+    def test_dot_export(self):
+        from quantum_simulations_tpu.circuit import library as lib
+        from quantum_simulations_tpu.circuit.dag import partition, to_dot
+
+        cd = lib.ghz(4)
+        dot = to_dot(cd)
+        assert dot.startswith("digraph circuit {")
+        assert dot.count("->") == 3  # H->CNOT->CNOT->CNOT chain
+        parts = partition(cd, 2, "locality")
+        clustered = to_dot(cd, parts)
+        assert "subgraph cluster_0" in clustered
