@@ -86,6 +86,29 @@ def ghz_qft(n: int) -> dict:
     return _c(n, g1["gates"] + g2["gates"])
 
 
+def w_qft(n: int) -> dict:
+    """W preparation followed by QFT (v1 family,
+    ``v1_implementation/src/circuits.py:69``)."""
+    return _c(n, w_state(n)["gates"] + qft(n)["gates"])
+
+
+def ghz_proned(n: int, depth: int) -> dict:
+    """Depth-truncated alternating GHZ cascades (v1 family,
+    ``v1_implementation/src/circuits.py:81``): repeat the GHZ ladder,
+    flipping its qubit order each pass, and cut at ``depth`` gates —
+    a fixed-length entangling workload for depth sweeps."""
+    gates: list[dict] = []
+    flip = False
+    while len(gates) < depth:
+        ladder = ghz(n)["gates"]
+        if flip:
+            ladder = [{**g, "qubits": [n - 1 - q for q in g["qubits"]]}
+                      for g in ladder]
+        gates.extend(ladder)
+        flip = not flip
+    return _c(n, gates[:depth])
+
+
 def qpe(n_counting: int, theta: float | None = None) -> dict:
     """Quantum phase estimation on a phase gate with eigenphase theta.
 
@@ -415,6 +438,8 @@ FAMILIES = {
     "w": w_state,
     "qft": qft,
     "ghz_qft": ghz_qft,
+    "w_qft": w_qft,
+    "ghz_proned": lambda n: ghz_proned(n, 3 * n),
     "qpe": lambda n: qpe(max(n - 1, 1)),
     "hwall": hadamard_wall,
     "random": lambda n: random_circuit(n, 5 * n, seed=1),

@@ -79,3 +79,21 @@ def test_family_registry_complete():
             cd = build(n)
             validate_circuit_dict(cd)
     assert len(lib.FAMILIES) >= 22
+
+
+def test_w_qft_norm_and_structure():
+    cd = lib.w_qft(5)
+    psi = oracle.simulate(cd)
+    np.testing.assert_allclose(np.vdot(psi, psi).real, 1.0, atol=1e-10)
+    # The W part leaves exactly n nonzeros before the QFT spreads them.
+    w_only = oracle.simulate(lib.w_state(5))
+    assert np.count_nonzero(np.abs(w_only) > 1e-12) == 5
+
+
+def test_ghz_proned_depth_truncation():
+    cd = lib.ghz_proned(4, 10)
+    assert len(cd["gates"]) == 10
+    psi = oracle.simulate(cd)
+    np.testing.assert_allclose(np.vdot(psi, psi).real, 1.0, atol=1e-10)
+    # Second pass must act on the flipped ladder (qubit n-1 leads).
+    assert cd["gates"][4]["qubits"] == [3]
