@@ -165,3 +165,17 @@ def expectation_z(circuit_dict: dict, qubits: list[int],
         return float(sampling.expectation_z_sharded(psi, qubits, n, mesh))
     psi = simulate(circuit_dict, cfg)
     return float(sampling.expectation_z(jnp.asarray(psi), qubits))
+
+
+def expectation_pauli(circuit_dict: dict, pauli: str | dict[int, str],
+                      config: SimulatorConfig | None = None) -> float:
+    """<psi| P |psi> for a Pauli string ('XZIY...' little-endian or
+    {qubit: letter}); non-Z axes are rotated into Z so the evaluation
+    stays on the fused elementwise path (see ops/observables.py)."""
+    import jax.numpy as jnp
+
+    from .ops import observables
+
+    cfg = config or SimulatorConfig()
+    psi = simulate(circuit_dict, cfg)
+    return float(observables.expectation_pauli(jnp.asarray(psi), pauli))

@@ -295,3 +295,65 @@ class TestContractAdversarial:
         cd = _adversarial_circuit(8, 600, 999)
         psi = oracle.simulate(cd)
         assert abs(np.linalg.norm(psi) - 1.0) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# QASM export/import round-trip fuzz: every exportable gate family under
+# random params must survive serialisation bit-for-bit (up to fp noise).
+# ---------------------------------------------------------------------------
+
+class TestQasmRoundTripFuzz:
+    def _any_gate_circuit(self, n: int, n_gates: int, seed: int) -> dict:
+        rng = random.Random(seed)
+        one_fixed = ["H", "X", "Y", "Z", "S", "T", "SDG", "TDG", "SX"]
+        two_fixed = ["CNOT", "SWAP", "CZ", "CY"]
+        gates = []
+        for _ in range(n_gates):
+            r = rng.random()
+            if r < 0.25:
+                gates.append(_g(rng.choice(one_fixed), [rng.randrange(n)]))
+            elif r < 0.40:
+                name = rng.choice(["RX", "RY", "RZ", "P"])
+                key = "phi" if name == "P" else "theta"
+                gates.append(_g(name, [rng.randrange(n)],
+                                {key: rng.uniform(-7, 7)}))
+            elif r < 0.50:
+                gates.append(_g("U", [rng.randrange(n)],
+                                {"theta": rng.uniform(-3, 3),
+                                 "phi": rng.uniform(-3, 3),
+                                 "lam": rng.uniform(-3, 3)}))
+            elif r < 0.60:
+                gates.append(_g("R", [rng.randrange(n)],
+                                {"k": rng.randint(1, 10)}))
+            elif r < 0.70:
+                qa, qb = rng.sample(range(n), 2)
+                gates.append(_g("CR", [qa, qb], {"k": rng.randint(1, 10)}))
+            elif r < 0.85:
+                name = rng.choice(["CP", "CRX", "CRY", "CRZ",
+                                   "RXX", "RYY", "RZZ"])
+                key = "phi" if name == "CP" else "theta"
+                qa, qb = rng.sample(range(n), 2)
+                gates.append(_g(name, [qa, qb], {key: rng.uniform(-7, 7)}))
+            elif r < 0.92:
+                qa, qb = rng.sample(range(n), 2)
+                A = np.array([[rng.gauss(0, 1) + 1j * rng.gauss(0, 1)
+                               for _ in range(2)] for _ in range(2)])
+                Q, _ = np.linalg.qr(A)
+                gates.append(_g("CU", [qa, qb],
+                                {"U": Q.tolist(),
+                                 "exponent": rng.randint(-2, 4)}))
+            else:
+                qs = rng.sample(range(n), 3)
+                gates.append(_g(rng.choice(["CCX", "CCZ", "CSWAP"]), qs))
+        return {"number_of_qubits": n, "gates": gates}
+
+    @pytest.mark.parametrize("seed", range(10))
+    def test_roundtrip_fuzz(self, seed):
+        from quantum_simulations_tpu.circuit.export_qasm import to_qasm
+        from quantum_simulations_tpu.circuit.import_qasm import qasm_to_dict
+
+        cd = self._any_gate_circuit(5, 40, seed)
+        back = qasm_to_dict(to_qasm(cd))
+        a = oracle.simulate(cd)
+        b = oracle.simulate(back)
+        np.testing.assert_allclose(a, b, atol=1e-8)
