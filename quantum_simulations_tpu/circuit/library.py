@@ -432,6 +432,215 @@ def portfolio_qaoa(n: int, p: int = 2, seed: int = 17) -> dict:
     return _c(n, gates)
 
 
+def _on(qs: list[int], gates: list[dict]) -> list[dict]:
+    """Remap a register-local gate list onto circuit qubits ``qs``."""
+    return [{**g, "qubits": [qs[q] for q in g["qubits"]]} for g in gates]
+
+
+def _ccp_gates(qa: int, qb: int, qt: int, theta: float) -> list[dict]:
+    """Doubly-controlled phase exp(i*theta) on |qa=qb=qt=1>, decomposed
+    into CP/CNOT (theta/2 ladder): phase theta/2*(a + b - (a^b)) = theta*ab."""
+    return [
+        _g("CP", [qb, qt], {"phi": theta / 2.0}),
+        _g("CNOT", [qa, qb]),
+        _g("CP", [qb, qt], {"phi": -theta / 2.0}),
+        _g("CNOT", [qa, qb]),
+        _g("CP", [qa, qt], {"phi": theta / 2.0}),
+    ]
+
+
+def qpe_inexact(n_counting: int) -> dict:
+    """QPE with eigenphase 1/3 — NOT representable in n_counting bits,
+    so the output is a concentration (not a delta) around the nearest
+    grid values (MQT-Bench's ``qpeinexact`` family,
+    ``wenbo_engine/bench/mqt_bench_runner.py:38``)."""
+    return qpe(n_counting, theta=1.0 / 3.0)
+
+
+def amplitude_estimation(n_counting: int, a: float | None = None) -> dict:
+    """Canonical QAE (MQT's ``ae``): estimate a = P(good) of a 1-qubit
+    state preparation via phase estimation on its Grover operator.
+
+    The target qubit is prepared RY(2*theta), theta = asin(sqrt(a)); the
+    Grover iterate is the planar rotation by 2*theta whose eigenphases
+    are +-2*theta, driven through the CU gate with exponents 2^j.
+    Default a = sin^2(5*pi/16): eigenphase exactly 5/16, so 4 counting
+    bits resolve it exactly.
+    """
+    theta = math.asin(math.sqrt(a)) if a is not None else 5.0 * math.pi / 16.0
+    n = n_counting + 1
+    c, s = math.cos(2.0 * theta), math.sin(2.0 * theta)
+    q_entries = [[c, -s], [s, c]]
+    gates: list[dict] = [_g("RY", [n_counting], {"theta": 2.0 * theta})]
+    for q in range(n_counting):
+        gates.append(_g("H", [q]))
+    for j in range(n_counting):
+        gates.append(_g("CU", [j, n_counting],
+                        {"U": q_entries, "exponent": 1 << j}))
+    gates.extend(_inverse_qft_gates(n_counting))
+    return _c(n, gates)
+
+
+def quantum_walk(n: int, steps: int = 3) -> dict:
+    """Coined discrete-time quantum walk on a cycle of 2^(n-1) nodes
+    (MQT's ``qwalk``).  Coin = qubit 0, position = qubits 1..n-1.
+
+    The conditional +-1 shift is diagonal in the position register's
+    Fourier basis, so the whole walk is QFT(pos) . [H(coin) . phases]^t
+    . iQFT(pos): per step, CP(+2*pi*2^j/2^m) on each Fourier bit when
+    coin=1 (step right) and CP(-...) when coin=0 (step left, via X
+    conjugation of the coin).
+    """
+    m = n - 1
+    pos = list(range(1, n))
+    gates = _on(pos, qft(m)["gates"])
+    for _ in range(steps):
+        gates.append(_g("H", [0]))
+        for j in range(m):
+            phi = 2.0 * math.pi * (1 << j) / (1 << m)
+            gates.append(_g("CP", [0, pos[j]], {"phi": phi}))
+        gates.append(_g("X", [0]))
+        for j in range(m):
+            phi = -2.0 * math.pi * (1 << j) / (1 << m)
+            gates.append(_g("CP", [0, pos[j]], {"phi": phi}))
+        gates.append(_g("X", [0]))
+    gates.extend(_on(pos, _inverse_qft_gates(m)))
+    return _c(n, gates)
+
+
+def half_adder() -> dict:
+    """1-bit half adder over superposed inputs (MQT's ``half_adder``):
+    a=q0, b=q1, sum=q2 (a XOR b via CNOTs), carry=q3 (a AND b via CCX)."""
+    gates = [_g("H", [0]), _g("H", [1]),
+             _g("CNOT", [0, 2]), _g("CNOT", [1, 2]),
+             _g("CCX", [0, 1, 3])]
+    return _c(4, gates)
+
+
+def full_adder() -> dict:
+    """1-bit full adder (MQT's ``full_adder``): a=q0, b=q1, cin=q2,
+    sum=q3 = a^b^cin, cout=q4 = majority(a,b,cin) = ab ^ ac ^ bc."""
+    gates = [_g("H", [q]) for q in range(3)]
+    gates += [_g("CNOT", [q, 3]) for q in range(3)]
+    gates += [_g("CCX", [0, 1, 4]), _g("CCX", [0, 2, 4]), _g("CCX", [1, 2, 4])]
+    return _c(5, gates)
+
+
+def ripple_adder(n: int, a_val: int | None = None,
+                 b_val: int | None = None) -> dict:
+    """Cuccaro ripple-carry adder |a>|b> -> |a>|a+b> (MQT's
+    ``cdkm_ripple_carry_adder``): m = (n-2)//2 bits per register.
+
+    Layout: cin=q0, a=q1..qm, b=q(m+1)..q2m, cout=q(2m+1).  MAJ chain
+    forward (CNOT/CNOT/CCX), carry tap to cout, UMA chain backward.
+    Classical operands are X-prepared when given, else superposed by H.
+    """
+    m = max(1, (n - 2) // 2)
+    a = [1 + i for i in range(m)]
+    b = [1 + m + i for i in range(m)]
+    cin, cout = 0, 2 * m + 1
+    gates: list[dict] = []
+    for regs, val in ((a, a_val), (b, b_val)):
+        for i, q in enumerate(regs):
+            if val is None:
+                gates.append(_g("H", [q]))
+            elif (val >> i) & 1:
+                gates.append(_g("X", [q]))
+    carries = [cin] + a[:-1]
+    for i in range(m):
+        gates += [_g("CNOT", [a[i], b[i]]), _g("CNOT", [a[i], carries[i]]),
+                  _g("CCX", [carries[i], b[i], a[i]])]
+    gates.append(_g("CNOT", [a[m - 1], cout]))
+    for i in range(m - 1, -1, -1):
+        gates += [_g("CCX", [carries[i], b[i], a[i]]),
+                  _g("CNOT", [a[i], carries[i]]),
+                  _g("CNOT", [carries[i], b[i]])]
+    return _c(n if n >= 2 * m + 2 else 2 * m + 2, gates)
+
+
+def qft_multiplier(n: int, x_val: int | None = None,
+                   y_val: int | None = None) -> dict:
+    """Fourier-space multiplier |x>|y>|0> -> |x>|y>|x*y mod 2^mo>
+    (MQT's ``rg_qft_multiplier``): each partial product x_i*y_j*2^(i+j)
+    is a doubly-controlled phase ladder on the QFT'd output register,
+    with CCP decomposed into CP/CNOT.
+    """
+    mx = max(1, n // 4)
+    mo = n - 2 * mx
+    x = list(range(mx))
+    y = list(range(mx, 2 * mx))
+    out = list(range(2 * mx, n))
+    gates: list[dict] = []
+    for regs, val in ((x, x_val), (y, y_val)):
+        for i, q in enumerate(regs):
+            if val is None:
+                gates.append(_g("H", [q]))
+            elif (val >> i) & 1:
+                gates.append(_g("X", [q]))
+    gates += _on(out, qft(mo)["gates"])
+    for i in range(mx):
+        for j in range(mx):
+            for k in range(mo):
+                theta = (2.0 * math.pi * (1 << (i + j)) * (1 << k)
+                         / (1 << mo)) % (2.0 * math.pi)
+                if theta:
+                    gates += _ccp_gates(x[i], y[j], out[k], theta)
+    gates += _on(out, _inverse_qft_gates(mo))
+    return _c(n, gates)
+
+
+def qnn(n: int, seed: int = 29) -> dict:
+    """QNN-style circuit (MQT's ``qnn``): ZZ feature map (H wall +
+    P encodings + CNOT-conjugated pair phases) followed by a
+    RealAmplitudes variational block."""
+    rng = _random.Random(seed)
+    xs = [rng.uniform(0.1, 2.0) for _ in range(n)]
+    gates: list[dict] = []
+    for rep in range(2):
+        for q in range(n):
+            gates.append(_g("H", [q]))
+            gates.append(_g("P", [q], {"phi": 2.0 * xs[q]}))
+        for q in range(n - 1):
+            phi = 2.0 * (math.pi - xs[q]) * (math.pi - xs[q + 1])
+            gates += [_g("CNOT", [q, q + 1]),
+                      _g("P", [q + 1], {"phi": phi % (2.0 * math.pi)}),
+                      _g("CNOT", [q, q + 1])]
+    for _ in range(2):
+        for q in range(n):
+            gates.append(_g("RY", [q], {"theta": rng.uniform(-3.1, 3.1)}))
+        for q in range(n - 1):
+            gates.append(_g("CNOT", [q, q + 1]))
+    return _c(n, gates)
+
+
+def shor15(n_counting: int = 3) -> dict:
+    """Order finding for a=7, N=15 — the canonical Shor demo (MQT's
+    ``shor``): counting register + 4-qubit work register in |1>,
+    controlled mult-by-7^(2^j) mod 15, inverse QFT.
+
+    mult-by-8 mod 15 is a right-rotation of the 4 work bits and
+    7 == -8 (mod 15) with 15-y = NOT y, so controlled mult-by-7 is
+    3 CSWAPs + 4 CNOTs; 7^2 = 4 is a 2-bit rotation (2 CSWAPs);
+    7^(2^j) = 1 for j >= 2 (order r=4 -> exact peaks at s*2^m/4).
+    """
+    n = n_counting + 4
+    w = [n_counting + i for i in range(4)]
+    gates: list[dict] = [_g("X", [w[0]])]
+    gates += [_g("H", [q]) for q in range(n_counting)]
+    for j in range(min(n_counting, 2)):
+        c = j
+        if j == 0:  # controlled mult by 7 = rot-right-1 then NOT all
+            gates += [_g("CSWAP", [c, w[0], w[1]]),
+                      _g("CSWAP", [c, w[1], w[2]]),
+                      _g("CSWAP", [c, w[2], w[3]])]
+            gates += [_g("CNOT", [c, q]) for q in w]
+        else:  # controlled mult by 4 = rotate left 2
+            gates += [_g("CSWAP", [c, w[0], w[2]]),
+                      _g("CSWAP", [c, w[1], w[3]])]
+    gates += _inverse_qft_gates(n_counting)
+    return _c(n, gates)
+
+
 FAMILIES = {
     "bell": lambda n=2: bell(),
     "ghz": ghz,
@@ -457,4 +666,13 @@ FAMILIES = {
     "su2": su2_random,
     "two_local": two_local_random,
     "portfolio_qaoa": portfolio_qaoa,
+    "qpe_inexact": lambda n: qpe_inexact(max(n - 1, 1)),
+    "ae": lambda n: amplitude_estimation(max(n - 1, 1)),
+    "qwalk": lambda n: quantum_walk(n, steps=max(1, (n - 1) // 2)),
+    "half_adder": lambda n=4: half_adder(),
+    "full_adder": lambda n=5: full_adder(),
+    "ripple_adder": ripple_adder,
+    "qft_mult": qft_multiplier,
+    "qnn": qnn,
+    "shor15": lambda n: shor15(max(n - 4, 1)),
 }
