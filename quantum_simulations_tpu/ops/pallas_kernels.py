@@ -199,6 +199,7 @@ def positioned_panel_planar(
     batch_block: int = 8,
     interpret: bool = False,
     inplace: bool = False,
+    block_elems: int = 1 << 16,
 ):
     """Apply a 2^w-wide fused panel to bit window [pos, pos+w) — no rotation.
 
@@ -256,7 +257,7 @@ def positioned_panel_planar(
         # contracts only the dim-wide panel axis.
         D2 = dim << e
         A2 = N // (D2 * lanes)
-        BA = max(1, (1 << 16) // (D2 * lanes))
+        BA = max(1, block_elems // (D2 * lanes))
         while A2 % BA:
             BA //= 2
         spec = pl.BlockSpec((BA, D2, lanes), lambda a: (a, 0, 0),
@@ -277,8 +278,10 @@ def positioned_panel_planar(
     # pos >= 10: 4-D view (A2, 128, B2, 128) — linear-safe (B2 >= 8).
     B2 = 1 << e
     A2 = N // (dim * B2 * lanes)
-    BB = min(B2, 8)
-    BA = max(1, (1 << 16) // (dim * BB * lanes))
+    BB = min(B2, max(8, batch_block))
+    while B2 % BB:
+        BB //= 2
+    BA = max(1, block_elems // (dim * BB * lanes))
     while A2 % BA:
         BA //= 2
     spec = pl.BlockSpec((BA, dim, BB, lanes), lambda a, b: (a, 0, b, 0),
@@ -897,6 +900,51 @@ def _mixed_low_kernel(re_ref, im_ref, lr_ref, li_ref, ore_ref, oim_ref, *,
     oim_ref[:] = jnp.stack(out_i, axis=2).reshape(shape)
 
 
+def _mixed_low_vec_kernel(re_ref, im_ref, vr_ref, vi_ref, ore_ref, oim_ref,
+                          *, t, use_r, use_i):
+    # Lane-diagonal fast path: every 128x128 lane operator is diagonal
+    # (the gate never moves the lane qubit — e.g. CNOT/CU/CY with the
+    # control in the lane), so the update is a per-lane VECTOR multiply
+    # on the VPU instead of four MXU matmuls: bandwidth-bound, not
+    # compute-bound (CNOT(6,7) measured 20 ms matmul vs ~7 ms here at
+    # n=28).
+    def planes(ref):
+        v = ref[:]
+        ba = v.shape[0]
+        return v.reshape(ba, 8 >> (t + 1), 2, 1 << t, 128)
+
+    vre = planes(re_ref)
+    vim = planes(im_ref)
+    xs = {h: (vre[:, :, h, :, :], vim[:, :, h, :, :]) for h in (0, 1)}
+
+    def add(a, v):
+        return v if a is None else a + v
+
+    out_r = []
+    out_i = []
+    for ho in (0, 1):
+        ar = ai = None
+        for h in (0, 1):
+            xr, xi = xs[h]
+            if use_r[ho][h]:
+                v = vr_ref[ho, h, :]
+                ar = add(ar, xr * v)
+                ai = add(ai, xi * v)
+            if use_i[ho][h]:
+                v = vi_ref[ho, h, :]
+                ar = add(ar, -(xi * v))
+                ai = add(ai, xr * v)
+        if ar is None:
+            ar = jnp.zeros_like(xs[0][0])
+            ai = jnp.zeros_like(xs[0][1])
+        out_r.append(ar)
+        out_i.append(ai)
+
+    shape = re_ref.shape
+    ore_ref[:] = jnp.stack(out_r, axis=2).reshape(shape)
+    oim_ref[:] = jnp.stack(out_i, axis=2).reshape(shape)
+
+
 def mixed_low_pair_planar(
     re: jnp.ndarray,
     im: jnp.ndarray,
@@ -922,10 +970,6 @@ def mixed_low_pair_planar(
     L = _mixed_lane_ops(U, qa, qb)
     N = re.size
     fdtype = re.dtype
-    Lr = np.ascontiguousarray(L.real, dtype=fdtype)
-    Li = np.ascontiguousarray(L.imag, dtype=fdtype)
-    use_r = [[bool(Lr[ho, h].any()) for h in (0, 1)] for ho in (0, 1)]
-    use_i = [[bool(Li[ho, h].any()) for h in (0, 1)] for ho in (0, 1)]
 
     A = N // (8 * 128)
     BA = min(A, 64)
@@ -933,6 +977,40 @@ def mixed_low_pair_planar(
         BA //= 2
     spec = pl.BlockSpec((BA, 8, 128), lambda a: (a, 0, 0),
                         memory_space=pltpu.VMEM)
+
+    lane_diag = all(
+        not np.any(L[ho, h] - np.diag(np.diag(L[ho, h])))
+        for ho in (0, 1) for h in (0, 1)
+    )
+    if lane_diag:
+        # V[ho, h] = diag(L[ho, h]): the gate is diagonal over lane
+        # positions, so each output plane is a vector lin-comb.
+        V = np.stack([[np.diag(L[ho, h]) for h in (0, 1)] for ho in (0, 1)])
+        Vr = np.ascontiguousarray(V.real, dtype=fdtype)
+        Vi = np.ascontiguousarray(V.imag, dtype=fdtype)
+        use_r = [[bool(Vr[ho, h].any()) for h in (0, 1)] for ho in (0, 1)]
+        use_i = [[bool(Vi[ho, h].any()) for h in (0, 1)] for ho in (0, 1)]
+        vspec = pl.BlockSpec((2, 2, 128), lambda a: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
+        kern = functools.partial(_mixed_low_vec_kernel, t=t,
+                                 use_r=use_r, use_i=use_i)
+        ore, oim = pl.pallas_call(
+            kern,
+            grid=(A // BA,),
+            in_specs=[spec, spec, vspec, vspec],
+            out_specs=[spec, spec],
+            out_shape=[jax.ShapeDtypeStruct((A, 8, 128), fdtype)] * 2,
+            input_output_aliases={0: 0, 1: 1} if inplace else {},
+            interpret=interpret,
+        )(re.reshape(A, 8, 128), im.reshape(A, 8, 128),
+          jnp.asarray(Vr), jnp.asarray(Vi))
+        return ore.reshape(N), oim.reshape(N)
+
+    Lr = np.ascontiguousarray(L.real, dtype=fdtype)
+    Li = np.ascontiguousarray(L.imag, dtype=fdtype)
+    use_r = [[bool(Lr[ho, h].any()) for h in (0, 1)] for ho in (0, 1)]
+    use_i = [[bool(Li[ho, h].any()) for h in (0, 1)] for ho in (0, 1)]
+
     lspec = pl.BlockSpec((2, 2, 128, 128), lambda a: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM)
     kern = functools.partial(_mixed_low_kernel, t=t, use_r=use_r, use_i=use_i)

@@ -113,6 +113,33 @@ def test_mixed_pair_planar_matches_oracle(n, qa, qb, gate):
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+MIXED_LOW_CASES = [
+    # (n, qa, qb): one qubit below the lane boundary (q<7), hi in 7..9.
+    (12, 3, 7), (13, 6, 8), (14, 0, 9), (13, 7, 5),
+]
+
+
+@pytest.mark.parametrize("n,qa,qb", MIXED_LOW_CASES)
+@pytest.mark.parametrize("gate", ["SWAP", "CNOT", "CZ", "CY", "random"])
+def test_mixed_low_pair_planar_matches_oracle(n, qa, qb, gate):
+    # "CNOT"/"CZ"/"CY" with qa as control hit the lane-diagonal vector
+    # path when the lane qubit never moves; "SWAP"/"random" always take
+    # the 128x128 MXU lane-operator path.
+    from quantum_simulations_tpu.oracle import dense_numpy as oracle
+    from quantum_simulations_tpu.ops.pallas_kernels import (
+        mixed_low_pair_planar, mixed_low_pair_supported,
+    )
+
+    assert mixed_low_pair_supported(qa, qb)
+    U = _rand_unitary(4, seed=n + qa) if gate == "random" else getattr(G, gate)()
+    psi = _rand_state(n, seed=n * 13 + qa)
+    re, im = to_planar(jnp.asarray(psi))
+    ore, oim = mixed_low_pair_planar(re, im, qa, qb, U, interpret=True)
+    got = np.asarray(from_planar(ore, oim))
+    want = oracle.apply_gate(psi.astype(np.complex128), [qa, qb], U)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
 def test_pair_update_supported_bounds():
     from quantum_simulations_tpu.ops.pallas_kernels import pair_update_supported
 
