@@ -81,15 +81,19 @@ def main() -> None:
     psi = mk()
     float(jax.device_get(norm2(psi)))  # force input
 
-    def once() -> float:
-        return float(jax.device_get(norm2(compiled(psi))))
+    def chain(k: int) -> float:
+        # k chained applications dispatched async, ONE scalar fetch:
+        # the ~44 ms axon-tunnel RTT amortizes over all reps instead of
+        # taxing each one (~18% of the n=28 wall at per-rep fetch).
+        out = psi
+        for _ in range(k):
+            out = compiled(out)
+        return float(jax.device_get(norm2(out)))
 
-    once()  # warm run
-    reps = 5
+    chain(1)  # warm run
+    reps = 10
     t0 = time.perf_counter()
-    final_norm = 0.0
-    for _ in range(reps):
-        final_norm = once()
+    final_norm = chain(reps)
     dt = (time.perf_counter() - t0) / reps
 
     ref_wall_s = 139.0  # reference out-of-core n=28 (v3_comparison.md:60)

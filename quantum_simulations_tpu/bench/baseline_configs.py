@@ -66,12 +66,19 @@ def run(reps: int = 4, retries: int = 3, only: tuple = (),
             )()
             float(jax.device_get(norm2(psi)))
 
-            def once():
-                return float(jax.device_get(norm2(compiled(psi))))
+            def chain(k):
+                # k chained applications dispatched async, ONE scalar
+                # fetch at the end: the ~44 ms axon-tunnel RTT is paid
+                # once per measurement instead of once per rep (it was
+                # ~30% of the qft26 wall at per-rep-fetch reps=4).
+                out = psi
+                for _ in range(k):
+                    out = compiled(out)
+                return float(jax.device_get(norm2(out)))
 
-            once()
+            chain(1)  # warm run
             t0 = time.time()
-            norm = [once() for _ in range(reps)][-1]
+            norm = chain(reps)
             dt = (time.time() - t0) / reps
             row.update({
                 "steady_s": round(dt, 4),

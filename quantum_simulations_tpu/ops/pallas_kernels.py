@@ -199,7 +199,7 @@ def positioned_panel_planar(
     batch_block: int = 8,
     interpret: bool = False,
     inplace: bool = False,
-    block_elems: int = 1 << 16,
+    block_elems: int | None = None,
 ):
     """Apply a 2^w-wide fused panel to bit window [pos, pos+w) — no rotation.
 
@@ -257,7 +257,10 @@ def positioned_panel_planar(
         # contracts only the dim-wide panel axis.
         D2 = dim << e
         A2 = N // (D2 * lanes)
-        BA = max(1, block_elems // (D2 * lanes))
+        # 1<<17-elem blocks raced best on v5e (pos7 502 vs 463 GB/s);
+        # 1<<18 fails to compile at e == 0 (VMEM).
+        be = block_elems if block_elems is not None else 1 << 17
+        BA = max(1, be // (D2 * lanes))
         while A2 % BA:
             BA //= 2
         spec = pl.BlockSpec((BA, D2, lanes), lambda a: (a, 0, 0),
@@ -281,7 +284,10 @@ def positioned_panel_planar(
     BB = min(B2, max(8, batch_block))
     while B2 % BB:
         BB //= 2
-    BA = max(1, block_elems // (dim * BB * lanes))
+    # 1<<18-elem blocks raced best here (pos14 464 vs 442 GB/s); 1<<19
+    # fails to compile (VMEM).
+    be = block_elems if block_elems is not None else 1 << 18
+    BA = max(1, be // (dim * BB * lanes))
     while A2 % BA:
         BA //= 2
     spec = pl.BlockSpec((BA, dim, BB, lanes), lambda a, b: (a, 0, b, 0),
