@@ -92,10 +92,12 @@ def run(ns=(30,), reps: int = 3, retries: int = 3) -> dict:
                 float(jax.device_get(norm2(re, im)))
 
                 t0 = time.time()
-                norm = 0.0
                 for _ in range(reps):
+                    # donated/aliased planes chain naturally; one
+                    # scalar fetch at the end so the ~44 ms tunnel RTT
+                    # is paid once, not per rep.
                     re, im = compiled(re, im)
-                    norm = float(jax.device_get(norm2(re, im)))
+                norm = float(jax.device_get(norm2(re, im)))
                 dt = (time.time() - t0) / reps
                 row.update({
                     "steady_s": round(dt, 4),
