@@ -52,43 +52,67 @@ def main() -> None:
     warm = jax.jit(lambda: jnp.sum(jnp.ones((128, 128), jnp.float32)))
     float(jax.device_get(warm()))
 
-    # Fixed-window planar-Pallas mode: measured 0.37 s steady at n=28 on
-    # v5e (376x the reference's 139 s); falls back to the rotating-panel
-    # XLA mode if the Pallas path fails on this backend.  The remote
-    # compile service 500s intermittently — retry before falling back.
-    def _compile_with_retries(build, attempts=3):
+    # Fixed-window planar-Pallas mode with planar end-to-end io: the
+    # state stays as two f32 planes across the whole run — the
+    # complex64<->planar conversion is a strided retile worth ~25 ms
+    # per call at n=28 that the planar chain never pays (measured
+    # 0.157 s vs 0.182 s, bench/overhead.py).  Falls back to the
+    # rotating-panel XLA mode if the Pallas path fails on this
+    # backend.  The remote compile service 500s intermittently —
+    # retry before falling back.
+    P = jax.ShapeDtypeStruct((1 << n,), jnp.float32)
+
+    def _compile_with_retries(build, lower_args, attempts=3):
         last = None
         for i in range(attempts):
             try:
-                return build().lower(S).compile()
+                return build().lower(*lower_args).compile()
             except Exception as e:  # transient tpu_compile_helper 500s
                 last = e
                 time.sleep(5 * (i + 1))
         raise last
 
+    planar = True
     try:
         compiled = _compile_with_retries(
             lambda: simulator.build_window_circuit_fn(
-                cd, dtype="complex64", donate=False, interpret=False))
+                cd, dtype="complex64", donate=True, interpret=False,
+                planar_io=True), (P, P))
     except Exception:
+        planar = False
         compiled = _compile_with_retries(
             lambda: simulator.build_panel_circuit_fn(
-                cd, dtype="complex64", donate=False))
-    norm2 = jax.jit(
-        lambda x: jnp.sum(jnp.real(x) ** 2 + jnp.imag(x) ** 2)
-    ).lower(S).compile()
-    mk = jax.jit(lambda: jnp.zeros(1 << n, dtype=jnp.complex64).at[0].set(1.0))
-    psi = mk()
-    float(jax.device_get(norm2(psi)))  # force input
+                cd, dtype="complex64", donate=False), (S,))
 
-    def chain(k: int) -> float:
-        # k chained applications dispatched async, ONE scalar fetch:
-        # the ~44 ms axon-tunnel RTT amortizes over all reps instead of
-        # taxing each one (~18% of the n=28 wall at per-rep fetch).
-        out = psi
-        for _ in range(k):
-            out = compiled(out)
-        return float(jax.device_get(norm2(out)))
+    if planar:
+        from quantum_simulations_tpu.ops import dense
+
+        norm2 = jax.jit(
+            lambda re, im: jnp.sum(re * re) + jnp.sum(im * im)
+        ).lower(P, P).compile()
+        state = jax.jit(lambda: dense.zero_state_planar(n))()
+
+        def chain(k: int) -> float:
+            # k chained applications dispatched async, ONE scalar
+            # fetch: the ~44 ms axon-tunnel RTT amortizes over all
+            # reps instead of taxing each one.
+            nonlocal state
+            for _ in range(k):
+                state = compiled(*state)
+            return float(jax.device_get(norm2(*state)))
+    else:
+        norm2 = jax.jit(
+            lambda x: jnp.sum(jnp.real(x) ** 2 + jnp.imag(x) ** 2)
+        ).lower(S).compile()
+        psi = jax.jit(
+            lambda: jnp.zeros(1 << n, dtype=jnp.complex64).at[0].set(1.0))()
+        float(jax.device_get(norm2(psi)))  # force input
+
+        def chain(k: int) -> float:
+            out = psi
+            for _ in range(k):
+                out = compiled(out)
+            return float(jax.device_get(norm2(out)))
 
     chain(1)  # warm run
     reps = 10

@@ -38,9 +38,11 @@ def run(reps: int = 4, retries: int = 3, only: tuple = (),
     if only:
         configs = [c for c in configs if c[0] in only]
     rows = []
+    from ..ops import dense
+
     for tag, cd in configs:
         n = cd["number_of_qubits"]
-        S = jax.ShapeDtypeStruct((1 << n,), jnp.complex64)
+        P = jax.ShapeDtypeStruct((1 << n,), jnp.float32)
         row = {"config": tag, "n": n, "gates": len(cd["gates"])}
         try:
             t0 = time.time()
@@ -48,9 +50,12 @@ def run(reps: int = 4, retries: int = 3, only: tuple = (),
             last = None
             for i in range(retries):
                 try:
+                    # Planar end-to-end: the complex64<->planar retile
+                    # costs ~25 ms per call at n=28 (bench/overhead.py)
+                    # that the planar chain never pays.
                     compiled = simulator.build_window_circuit_fn(
-                        cd, dtype="complex64", donate=False,
-                    ).lower(S).compile()
+                        cd, dtype="complex64", donate=True, planar_io=True,
+                    ).lower(P, P).compile()
                     break
                 except Exception as e:  # transient remote-compile 500s
                     last = e
@@ -59,26 +64,22 @@ def run(reps: int = 4, retries: int = 3, only: tuple = (),
                 raise last
             row["compile_s"] = round(time.time() - t0, 1)
             norm2 = jax.jit(
-                lambda x: jnp.sum(jnp.real(x) ** 2 + jnp.imag(x) ** 2)
-            ).lower(S).compile()
-            psi = jax.jit(
-                lambda n=n: jnp.zeros(1 << n, jnp.complex64).at[0].set(1.0)
-            )()
-            float(jax.device_get(norm2(psi)))
+                lambda re, im: jnp.sum(re * re) + jnp.sum(im * im)
+            ).lower(P, P).compile()
+            state = jax.jit(lambda n=n: dense.zero_state_planar(n))()
 
-            def chain(k):
+            def chain(k, state):
                 # k chained applications dispatched async, ONE scalar
                 # fetch at the end: the ~44 ms axon-tunnel RTT is paid
                 # once per measurement instead of once per rep (it was
                 # ~30% of the qft26 wall at per-rep-fetch reps=4).
-                out = psi
                 for _ in range(k):
-                    out = compiled(out)
-                return float(jax.device_get(norm2(out)))
+                    state = compiled(*state)
+                return float(jax.device_get(norm2(*state))), state
 
-            chain(1)  # warm run
+            _, state = chain(1, state)  # warm run
             t0 = time.time()
-            norm = chain(reps)
+            norm, state = chain(reps, state)
             dt = (time.time() - t0) / reps
             row.update({
                 "steady_s": round(dt, 4),

@@ -1,0 +1,193 @@
+"""Per-pass dispatch-overhead study for the window executor.
+
+The n=28 headline program runs 16 HBM passes in 182 ms, but racing the
+individual kernels sums to ~143 ms — ~2.4 ms/pass is unaccounted for
+inside the jit program.  This module isolates where it goes:
+
+* ``nonstab_variants`` — the headline circuit under the four io/alias
+  policies (complex io vs planar end-to-end; donated vs not; aliased
+  Pallas kernels vs not).  The complex<->planar conversion is two full
+  HBM passes per call that the pass count never shows.
+* ``panel_scaling`` — programs of k identical lane-panel passes for
+  k in (2, 4, 8, 16); a linear fit gives the true marginal cost of one
+  pass (slope) and the fixed program overhead (intercept).
+
+Analogue of the reference's matmul-vs-I/O decomposition
+(``wenbo_engine/bench/matmul_vs_io.py:91-140``) — there the question
+was "how many gates amortize one I/O pass", here it is "how much of a
+pass is HBM traffic vs dispatch gap".
+
+Run: ``python -m quantum_simulations_tpu.bench.overhead``.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+from . import setup_platform, warm_grant
+
+
+def _compile_with_retries(build, retries: int = 3):
+    last = None
+    for i in range(retries):
+        try:
+            return build()
+        except Exception as e:  # transient remote-compile 500s
+            last = e
+            time.sleep(6 * (i + 1))
+    raise last
+
+
+def nonstab_variants(n: int = 28, reps: int = 10, retries: int = 3) -> list:
+    import jax
+    import jax.numpy as jnp
+
+    from ..circuit import library as lib
+    from ..ops import dense
+    from ..runtime import simulator
+
+    cd = lib.non_stabilizer(n, depth=4, seed=7)
+    gates = len(cd["gates"])
+    S = jax.ShapeDtypeStruct((1 << n,), jnp.complex64)
+    P = jax.ShapeDtypeStruct((1 << n,), jnp.float32)
+
+    variants = [
+        ("complex_io", dict(planar_io=False, donate=False, inplace=False)),
+        ("complex_io_donate", dict(planar_io=False, donate=True,
+                                   inplace=False)),
+        ("planar_io", dict(planar_io=True, donate=False, inplace=False)),
+        ("planar_io_donate", dict(planar_io=True, donate=True,
+                                  inplace=False)),
+        ("planar_io_donate_inplace", dict(planar_io=True, donate=True,
+                                          inplace=True)),
+    ]
+    rows = []
+    for tag, kw in variants:
+        row = {"variant": tag, "n": n, "gates": gates}
+        try:
+            planar = kw["planar_io"]
+            t0 = time.time()
+            fn = simulator.build_window_circuit_fn(
+                cd, dtype=jnp.complex64, **kw)
+            compiled = _compile_with_retries(
+                lambda: (fn.lower(P, P) if planar else fn.lower(S)).compile(),
+                retries)
+            row["compile_s"] = round(time.time() - t0, 1)
+
+            if planar:
+                norm2 = jax.jit(
+                    lambda re, im: jnp.sum(re * re) + jnp.sum(im * im)
+                ).lower(P, P).compile()
+                init = jax.jit(
+                    lambda: dense.zero_state_planar(n)).lower().compile()
+                state = init()
+                state = compiled(*state)  # warm
+                float(jax.device_get(norm2(*state)))
+                t0 = time.perf_counter()
+                for _ in range(reps):
+                    state = compiled(*state)
+                norm = float(jax.device_get(norm2(*state)))
+                dt = (time.perf_counter() - t0) / reps
+            else:
+                norm2 = jax.jit(
+                    lambda x: jnp.sum(jnp.real(x) ** 2 + jnp.imag(x) ** 2)
+                ).lower(S).compile()
+                mk = jax.jit(lambda: jnp.zeros(
+                    1 << n, jnp.complex64).at[0].set(1.0))
+                psi = compiled(mk())  # warm
+                float(jax.device_get(norm2(psi)))
+                if kw["donate"]:
+                    psi = mk()  # the warm run consumed its input
+                t0 = time.perf_counter()
+                out = psi
+                for _ in range(reps):
+                    out = compiled(out)
+                norm = float(jax.device_get(norm2(out)))
+                dt = (time.perf_counter() - t0) / reps
+            row.update({
+                "steady_s": round(dt, 4),
+                "ms_per_pass_16": round(dt / 16 * 1e3, 2),
+                "norm2": round(norm, 6),
+            })
+        except Exception as e:
+            row["error"] = f"{type(e).__name__}: {str(e)[:160]}"
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+    return rows
+
+
+def panel_scaling(n: int = 28, ks=(2, 4, 8, 16), reps: int = 6,
+                  retries: int = 3) -> dict:
+    """k chained lane-panel passes; fit t(k) = intercept + slope*k."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops import dense
+    from ..ops import pallas_kernels as pk
+
+    P = jax.ShapeDtypeStruct((1 << n,), jnp.float32)
+    interpret = jax.default_backend() != "tpu"
+    rng = np.random.default_rng(0)
+    W, _ = np.linalg.qr(rng.standard_normal((128, 128))
+                        + 1j * rng.standard_normal((128, 128)))
+
+    norm2 = jax.jit(
+        lambda re, im: jnp.sum(re * re) + jnp.sum(im * im)
+    ).lower(P, P).compile()
+    init = jax.jit(lambda: dense.zero_state_planar(n)).lower().compile()
+
+    rows = []
+    for k in ks:
+        def prog(re, im, k=k):
+            for _ in range(k):
+                re, im = pk.panel_apply_planar(re, im, W,
+                                               interpret=interpret)
+            return re, im
+
+        row = {"k": k}
+        try:
+            t0 = time.time()
+            compiled = _compile_with_retries(
+                lambda: jax.jit(prog, donate_argnums=(0, 1))
+                .lower(P, P).compile(), retries)
+            row["compile_s"] = round(time.time() - t0, 1)
+            state = init()
+            state = compiled(*state)  # warm
+            float(jax.device_get(norm2(*state)))
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                state = compiled(*state)
+            float(jax.device_get(norm2(*state)))
+            dt = (time.perf_counter() - t0) / reps
+            row.update({"steady_s": round(dt, 5),
+                        "ms_per_pass": round(dt / k * 1e3, 3)})
+        except Exception as e:
+            row["error"] = f"{type(e).__name__}: {str(e)[:160]}"
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    good = [r for r in rows if "steady_s" in r]
+    fit = {}
+    if len(good) >= 2:
+        ks_ = np.array([r["k"] for r in good], float)
+        ts = np.array([r["steady_s"] for r in good], float)
+        slope, intercept = np.polyfit(ks_, ts, 1)
+        fit = {"slope_ms_per_pass": round(float(slope) * 1e3, 3),
+               "intercept_ms": round(float(intercept) * 1e3, 3)}
+    return {"rows": rows, "fit": fit}
+
+
+if __name__ == "__main__":
+    import sys
+
+    dev = setup_platform()
+    warm_grant()
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    out = {"device": str(dev)}
+    if which in ("all", "variants"):
+        out["nonstab_variants"] = nonstab_variants()
+    if which in ("all", "scaling"):
+        out["panel_scaling"] = panel_scaling()
+    print(json.dumps(out, indent=1))

@@ -27,6 +27,27 @@ from jax.experimental.pallas import tpu as pltpu
 HI = jax.lax.Precision.HIGHEST
 _DN = (((1,), (1,)), ((), ()))  # contract dim1 x dim1: a @ b.T
 
+# Complex panel products via the Gauss 3-multiplication identity:
+#   (re + i*im)(wr + i*wi):  m1 = re*wr, m2 = im*wi, t = (re+im)(wr+wi)
+#   out_re = m1 - m2, out_im = t - m1 - m2
+# One fewer MXU matmul per complex product (the panel kernels are
+# MXU-compute-bound at f32/HIGHEST, not HBM-bound — measured 8.9 ms vs
+# the 4.9 ms bandwidth floor per n=28 pass), for a ~25% pass-time cut.
+# The extra adds are VPU-trivial.  Error stays at the f32 round-off
+# scale (|t| <= 2*max|m|, same cancellation class as the direct form).
+# QST_PANEL_GAUSS=0 restores the 4-matmul form for A/B racing.
+_GAUSS = __import__("os").environ.get("QST_PANEL_GAUSS", "1") != "0"
+
+
+def _cmul_planes(mm, re, im, wr, wi):
+    """(out_re, out_im) of the complex product via mm(a, b) matmuls."""
+    if _GAUSS:
+        m1 = mm(re, wr)
+        m2 = mm(im, wi)
+        t = mm(re + im, wr + wi)
+        return m1 - m2, t - m1 - m2
+    return mm(re, wr) - mm(im, wi), mm(re, wi) + mm(im, wr)
+
 
 def _w_planes(W, fdtype):
     """Normalize a panel unitary to (wr, wi) planes.
@@ -55,10 +76,11 @@ def _panel_kernel(re_ref, im_ref, wr_ref, wi_ref, ore_ref, oim_ref, *,
     im = im_ref[:]
     wr = wr_ref[:]
     wi = wi_ref[:]
-    o_re = (jax.lax.dot_general(re, wr, _DN, precision=HI)
-            - jax.lax.dot_general(im, wi, _DN, precision=HI))
-    o_im = (jax.lax.dot_general(re, wi, _DN, precision=HI)
-            + jax.lax.dot_general(im, wr, _DN, precision=HI))
+
+    def mm(x, w):
+        return jax.lax.dot_general(x, w, _DN, precision=HI)
+
+    o_re, o_im = _cmul_planes(mm, re, im, wr, wi)
     if rotate:
         ore_ref[:] = o_re.T
         oim_ref[:] = o_im.T
@@ -143,14 +165,13 @@ def _positioned_row_kernel(re_ref, im_ref, wr_ref, wi_ref, ore_ref, oim_ref,
     wi = wi_ref[:]
     dim = wr.shape[0]
 
-    def mm(w, x):
+    def mm(x, w):
         return jnp.einsum("ij,ajk->aik", w, x, precision=HI)
 
     if e == 0:
         re = re_ref[:]
         im = im_ref[:]
-        ore_ref[:] = mm(wr, re) - mm(wi, im)
-        oim_ref[:] = mm(wi, re) + mm(wr, im)
+        ore_ref[:], oim_ref[:] = _cmul_planes(mm, re, im, wr, wi)
         return
 
     ba = re_ref.shape[0]
@@ -160,10 +181,10 @@ def _positioned_row_kernel(re_ref, im_ref, wr_ref, wi_ref, ore_ref, oim_ref,
     out_r = []
     out_i = []
     for b in range(1 << e):
-        re = vre[:, :, b, :]
-        im = vim[:, :, b, :]
-        out_r.append(mm(wr, re) - mm(wi, im))
-        out_i.append(mm(wi, re) + mm(wr, im))
+        o_re, o_im = _cmul_planes(
+            mm, vre[:, :, b, :], vim[:, :, b, :], wr, wi)
+        out_r.append(o_re)
+        out_i.append(o_im)
     shape = re_ref.shape
     ore_ref[:] = jnp.stack(out_r, axis=2).reshape(shape)
     oim_ref[:] = jnp.stack(out_i, axis=2).reshape(shape)
@@ -177,14 +198,14 @@ def _positioned_4d_kernel(re_ref, im_ref, wr_ref, wi_ref, ore_ref, oim_ref,
     wr = wr_ref[:]
     wi = wi_ref[:]
 
-    def mm(w, x):
+    def mm(x, w):
         return jnp.einsum("ij,ajk->aik", w, x, precision=HI)
 
     for b in range(BB):
-        re = re_ref[:, :, b, :]
-        im = im_ref[:, :, b, :]
-        ore_ref[:, :, b, :] = mm(wr, re) - mm(wi, im)
-        oim_ref[:, :, b, :] = mm(wi, re) + mm(wr, im)
+        o_re, o_im = _cmul_planes(
+            mm, re_ref[:, :, b, :], im_ref[:, :, b, :], wr, wi)
+        ore_ref[:, :, b, :] = o_re
+        oim_ref[:, :, b, :] = o_im
 
 
 
