@@ -291,6 +291,7 @@ def _fit_start(qubits: list[int], n: int, w: int) -> int | None:
 def compile_window_schedule(
     circuit_dict: dict, *, window: int = PANEL_W,
     layout_safe_diag: bool = False,
+    diag_terms_only: bool = False,
 ) -> list:
     """Fixed-window panel schedule: NO rotations.
 
@@ -311,12 +312,14 @@ def compile_window_schedule(
     ]
     return compile_window_ops(gate_list, cd["number_of_qubits"],
                               window=window,
-                              layout_safe_diag=layout_safe_diag)
+                              layout_safe_diag=layout_safe_diag,
+                              diag_terms_only=diag_terms_only)
 
 
 def compile_window_ops(
     gate_list: list, n: int, *, window: int = PANEL_W,
     layout_safe_diag: bool = False,
+    diag_terms_only: bool = False,
 ) -> list:
     """Window-schedule a list of ``(qubits, U, name)`` ops directly.
 
@@ -338,7 +341,27 @@ def compile_window_ops(
         for q in qs:
             per_qubit.setdefault(q, []).append(i)
     head = {q: 0 for q in per_qubit}
-    pending = list(range(len(gate_list)))
+
+    # Terminal standalone SWAPs (last gate on BOTH qubits, never fits
+    # a window) commute past everything after them — defer them all to
+    # the end, where a disjoint set is one bit permutation.  QFT's
+    # bit-reversal tail collapses from ~12 pair-kernel passes to one
+    # BitPermOp when the pairs fit the (lanes | middle | top) kernel
+    # classes (see :class:`BitPermOp`).
+    deferred: list[int] = []
+    if n >= 15:
+        from ..ops.dense import _SWAP4
+        for i, (qs, U, _) in enumerate(gate_list):
+            if (
+                len(qs) == 2
+                and all(per_qubit[q][-1] == i for q in qs)
+                and _fit_start(list(qs), n, w) is None
+                and np.asarray(U).shape == (4, 4)
+                and np.array_equal(np.asarray(U, np.complex128), _SWAP4)
+            ):
+                deferred.append(i)
+
+    pending = [i for i in range(len(gate_list)) if i not in set(deferred)]
 
     def is_ready(i: int) -> bool:
         return all(per_qubit[q][head[q]] == i for q in gate_list[i][0])
@@ -421,8 +444,34 @@ def compile_window_ops(
         out.extend(generics)
         if not progress and pending:
             raise AssertionError("window scheduler stalled")  # unreachable
+
+    if deferred:
+        pairs = [tuple(sorted(gate_list[i][0])) for i in deferred]
+        cross_p = [p for p in pairs if p[0] < 7 and p[1] >= n - 7]
+        mid_p = [p for p in pairs if p[0] >= 7 and p[1] < n - 7]
+        cross = None
+        if cross_p:
+            lanes = sorted(p[0] for p in cross_p)
+            tops = sorted(p[1] for p in cross_p)
+            if lanes == list(range(7)) and tops == list(range(n - 7, n)):
+                cross = [0] * 7
+                for lo, hi in cross_p:
+                    cross[lo] = hi
+                cross = tuple(cross)
+        legal = (
+            len(pairs) >= 2
+            and len(cross_p) + len(mid_p) == len(pairs)
+            and (not cross_p or cross is not None)
+        )
+        if legal:
+            out.append(BitPermOp(tuple(mid_p), cross))
+        else:
+            from ..ops.dense import _SWAP4
+            out.extend(PhysGateOp(p, _SWAP4, "SWAP") for p in pairs)
+
     return _merge_swap_runs(
-        _merge_diag_runs(out, layout_safe=layout_safe_diag))
+        _merge_diag_runs(out, layout_safe=layout_safe_diag,
+                         terms_only=diag_terms_only))
 
 
 # 13 high-qubit axes keep the phase literal at 2^13 c128 = 128 KB and
@@ -433,7 +482,8 @@ DIAG_MERGE_MAX_QUBITS = 13
 
 
 def _merge_diag_runs(ops: list, max_qubits: int = DIAG_MERGE_MAX_QUBITS,
-                     *, layout_safe: bool = False) -> list:
+                     *, layout_safe: bool = False,
+                     terms_only: bool = False) -> list:
     """Fuse consecutive diagonal PhysGateOps into combined-phase ops.
 
     Diagonal gates commute, so a run of them composes into one diagonal
@@ -448,11 +498,20 @@ def _merge_diag_runs(ops: list, max_qubits: int = DIAG_MERGE_MAX_QUBITS,
     stay singletons (the 2q split path handles those).  The default
     tier merges freely: the direct broadcast takes any mix, and wider
     unions mean fewer HBM passes.
+
+    ``terms_only`` (capacity tier with the fused Pallas diag kernel):
+    merge WITHOUT any qubit cap and carry only the Möbius ``terms`` —
+    the kernel computes phases from index bits, so no 2^m vector is
+    ever needed and a run of 13 capped DiagOps becomes ONE pass (the
+    per-element term math grows, but it amortizes over rows while the
+    saved HBM sweeps do not).  ``d`` is None on such ops.
     """
     out: list = []
     run: list[PhysGateOp] = []
 
     def _mergeable(union: set) -> bool:
+        if terms_only:
+            return True
         if not layout_safe:
             return True
         # Shear-safe classes (ops/dense.apply_diag_planar_shear):
@@ -468,7 +527,8 @@ def _merge_diag_runs(ops: list, max_qubits: int = DIAG_MERGE_MAX_QUBITS,
             union = set(group[0].qubits)
             while run:
                 cand = set(run[0].qubits) | union
-                if len(cand) > max_qubits or not _mergeable(cand):
+                if ((not terms_only and len(cand) > max_qubits)
+                        or not _mergeable(cand)):
                     break
                 union = cand
                 group.append(run.pop(0))
@@ -476,11 +536,19 @@ def _merge_diag_runs(ops: list, max_qubits: int = DIAG_MERGE_MAX_QUBITS,
                 out.append(group[0])
                 continue
             qubits = tuple(sorted(union))
+            terms: dict = {}
+            for g in group:
+                for qs, c in diag_phase_terms(g.qubits, np.diag(g.U)).items():
+                    k = tuple(sorted(qs))
+                    terms[k] = terms.get(k, 0.0) + c
+            if terms_only:
+                out.append(DiagOp(qubits, None, terms=tuple(
+                    (qs, c) for qs, c in terms.items() if abs(c) > 1e-12)))
+                continue
             m = len(qubits)
             pos_of = {q: j for j, q in enumerate(qubits)}
             d = np.ones(1 << m, dtype=np.complex128)
             idx = np.arange(1 << m)
-            terms: dict = {}
             for g in group:
                 sub = np.zeros(1 << m, dtype=np.int64)
                 mg = len(g.qubits)
@@ -488,9 +556,6 @@ def _merge_diag_runs(ops: list, max_qubits: int = DIAG_MERGE_MAX_QUBITS,
                     bit = (idx >> (m - 1 - pos_of[q])) & 1
                     sub |= bit << (mg - 1 - j)
                 d *= np.diag(g.U)[sub]
-                for qs, c in diag_phase_terms(g.qubits, np.diag(g.U)).items():
-                    k = tuple(sorted(qs))
-                    terms[k] = terms.get(k, 0.0) + c
             # Keep the 2^m VECTOR, never the 2^m x 2^m matrix: at the
             # m=13 merge cap np.diag(d) is a 67M-entry (1 GiB) literal
             # that every trace-time structure check then re-scans —
@@ -512,6 +577,26 @@ def _merge_diag_runs(ops: list, max_qubits: int = DIAG_MERGE_MAX_QUBITS,
             out.append(op)
     flush()
     return out
+
+
+@dataclass(frozen=True)
+class BitPermOp:
+    """A whole terminal SWAP network as ONE bit permutation pass.
+
+    QFT's bit reversal is the canonical case: its wide SWAP pairs never
+    fit a panel window and each costs a full HBM pass on the pair /
+    mixed-pair kernels.  When every such SWAP is *terminal* (the last
+    gate on both its qubits) the set is one index-bit permutation the
+    ``ops/pallas_kernels.bitperm_planar`` kernel applies in a single
+    read+write per plane.  TPU analogue of the reference's
+    bit-permutation redistribution (``mpi_redistributer.hpp:20-33``).
+
+    ``mid_pairs``: transpositions within bits [7, n-7).
+    ``cross``: 7-tuple (lane l <-> top bit cross[l], a bijection onto
+    the top 7 bits), or None for a middle-only permutation.
+    """
+    mid_pairs: tuple[tuple[int, int], ...]
+    cross: tuple | None
 
 
 @dataclass(frozen=True)
@@ -580,6 +665,7 @@ def window_stats(circuit_dict: dict, *, window: int = PANEL_W) -> dict:
         "generic_gates": sum(1 for o in ops if isinstance(o, PhysGateOp)),
         "diag_ops": sum(1 for o in ops if isinstance(o, DiagOp)),
         "multiswaps": sum(1 for o in ops if isinstance(o, MultiSwapOp)),
+        "bitperms": sum(1 for o in ops if isinstance(o, BitPermOp)),
         "gates": len(circuit_dict["gates"]),
         "hbm_passes": len(ops),
     }

@@ -769,7 +769,7 @@ def midpair_planar(
 
 
 def _fused_diag_kernel(re_ref, im_ref, ore_ref, oim_ref, *,
-                       row_terms, lane_terms, cross_terms, ba):
+                       row_terms, lane_terms, cross_terms, group_terms, ba):
     # theta(idx) = sum coeff * prod(bits): row terms (all qubits >= 7)
     # produce angles on (BA, 8, 1) — cos/sin amortized over the 128
     # lanes; lane terms (< 7) on (1, 1, 128); cross terms compose as
@@ -811,6 +811,20 @@ def _fused_diag_kernel(re_ref, im_ref, ore_ref, oim_ref, *,
         sk = float(np.sin(coeff)) * m
         c, s = c * ck - s * sk, s * ck + c * sk
 
+    # Factored cross groups (wide merged runs): all terms sharing one
+    # lane-bit subset compose into a SINGLE rotation whose angle is a
+    # row quantity — cos/sin amortize over the 128 lanes and the
+    # per-element cost is one masked rotation per GROUP, not per term.
+    for low_qs, rterms in group_terms:
+        ag = angle(rterms, (ba, 8, 1))
+        cg, sg = jnp.cos(ag), jnp.sin(ag)
+        m = jnp.ones((1, 1, 128), f)
+        for q in low_qs:
+            m = m * bit(q)
+        ck = 1.0 + (cg - 1.0) * m
+        sk = sg * m
+        c, s = c * ck - s * sk, s * ck + c * sk
+
     r = re_ref[:]
     i = im_ref[:]
     ore_ref[:] = r * c - i * s
@@ -839,7 +853,7 @@ def fused_diag_planar(
     N = re.size
     fdtype = re.dtype
     A = N // (8 * 128)
-    row_terms, lane_terms, cross_terms = [], [], []
+    row_terms, lane_terms, cross_all = [], [], []
     for qs, coeff in terms:
         qs = tuple(qs)
         if all(q >= 7 for q in qs) and qs:
@@ -847,7 +861,25 @@ def fused_diag_planar(
         elif all(q < 7 for q in qs):
             lane_terms.append((qs, float(coeff)))  # incl. () global
         else:
-            cross_terms.append((qs, float(coeff)))
+            cross_all.append((qs, float(coeff)))
+
+    # Group cross terms by lane-bit subset: a group composes into one
+    # masked rotation with a row-side angle (one vector cos/sin pair
+    # per group).  Worth it from 3 terms (below that the trace-time
+    # scalar algebraic form stays cheaper — the round-1 measurement
+    # that reverted whole-kernel vector cos/sin).
+    by_low: dict = {}
+    for qs, coeff in cross_all:
+        low = tuple(q for q in qs if q < 7)
+        row = tuple(q for q in qs if q >= 7)
+        by_low.setdefault(low, []).append((row, coeff))
+    cross_terms, group_terms = [], []
+    for low, rterms in by_low.items():
+        if len(rterms) >= 3:
+            group_terms.append((low, tuple(rterms)))
+        else:
+            cross_terms.extend(
+                (tuple(sorted(low + row)), c) for row, c in rterms)
 
     # 64-row blocks (256 KB per plane buffer).  Measured 415-460 GB/s
     # on v5e at BA 16 and 64 (within run-to-run noise): the kernel is
@@ -861,7 +893,7 @@ def fused_diag_planar(
     kern = functools.partial(
         _fused_diag_kernel, row_terms=tuple(row_terms),
         lane_terms=tuple(lane_terms), cross_terms=tuple(cross_terms),
-        ba=BA)
+        group_terms=tuple(group_terms), ba=BA)
     ore, oim = pl.pallas_call(
         kern,
         grid=(A // BA,),
@@ -1052,6 +1084,129 @@ def mixed_low_pair_planar(
     )(re.reshape(A, 8, 128), im.reshape(A, 8, 128),
       jnp.asarray(Lr), jnp.asarray(Li))
     return ore.reshape(N), oim.reshape(N)
+
+
+# ---------------------------------------------------------------------------
+# Bit-permutation kernel: a whole SWAP network in ONE pass per plane
+# ---------------------------------------------------------------------------
+#
+# A set of disjoint SWAP gates is one bit permutation of the state
+# index.  QFT's terminal bit-reversal is the canonical case: 12 of its
+# 15 SWAP pairs never fit a panel window, and running them as
+# individual pair-kernel / mixed-pair passes costs 12 full HBM sweeps
+# (~0.45 s of qft30's capacity wall).  This kernel applies the whole
+# permutation in one read + one write per plane:
+#
+#   view (128, M, 128): lanes = bits [0,7), middle = [7, n-7),
+#   top = [n-7, n).  Supported permutations factor as
+#     * an arbitrary permutation of the middle bits (the output tile
+#       at middle index m reads the input tile at sigma_mid^-1(m) —
+#       pure block indexing, zero math), and
+#     * an optional complete lane<->top exchange: lane l <-> top bit
+#       cross[l] (a bijection).  The 128x128 tile transform
+#       out[x, y] = X[f(y), g(x)] runs as two permutation-matrix
+#       matmuls on the MXU (exact: 0/1 operands select single f32
+#       entries even through the bf16 passes).
+#
+# TPU analogue of the reference's bit-permutation redistribution
+# (``hisvsim_repo/mpi_redistributer.hpp:20-33`` — there across MPI
+# ranks, here across the index bits of one chip's HBM).  Out-of-place
+# per plane (peak 3 planes — capacity-safe); the output is a flat
+# Pallas array, so none of the XLA transpose retiling that OOMed n=30.
+
+
+def _bitperm_copy_kernel(x_ref, o_ref):
+    o_ref[:] = x_ref[:]
+
+
+def _bitperm_cross_kernel(x_ref, pf_ref, pg_ref, o_ref):
+    x = x_ref[:].reshape(128, 128)
+    # C[y, j] = X[f(y), j]; out[x, y] = C[y, g(x)] via a dim1-dim1
+    # contraction — no explicit transpose needed.
+    c = jax.lax.dot_general(pf_ref[:], x, (((1,), (0,)), ((), ())),
+                            precision=HI)
+    o = jax.lax.dot_general(pg_ref[:], c, (((1,), (1,)), ((), ())),
+                            precision=HI)
+    o_ref[:] = o.reshape(o_ref.shape)
+
+
+def bitperm_planar(
+    re: jnp.ndarray,
+    im: jnp.ndarray,
+    mid_pairs: tuple,
+    cross: tuple | None,
+    *,
+    interpret: bool = False,
+):
+    """out[i] = in[sigma(i)] for the bit transpositions described above.
+
+    ``mid_pairs``: disjoint (qa, qb) with both bits in [7, n-7).
+    ``cross``: None, or a 7-tuple with cross[l] = the top bit
+    (>= n-7) exchanged with lane bit l — must cover all 7 lanes.
+    sigma is an involution, so in/out index maps use the same pairs.
+    """
+    n = int(np.log2(re.size))
+    assert n >= 15, "bitperm needs the (128, M, 128) view"
+    M = 1 << (n - 14)
+    mrel = tuple((a - 7, b - 7) for a, b in mid_pairs)
+
+    def in_map(m):
+        r = 0
+        moved = 0
+        for a, b in mrel:
+            r = r | (((m >> a) & 1) << b) | (((m >> b) & 1) << a)
+            moved |= (1 << a) | (1 << b)
+        r = r | (m & ~moved)
+        return (0, r, 0)
+
+    fdtype = re.dtype
+    spec_in = pl.BlockSpec((128, 1, 128), lambda m: in_map(m),
+                           memory_space=pltpu.VMEM)
+    spec_out = pl.BlockSpec((128, 1, 128), lambda m: (0, m, 0),
+                            memory_space=pltpu.VMEM)
+    if cross is None:
+        args, in_specs, kern = (), [spec_in], _bitperm_copy_kernel
+    else:
+        assert sorted(cross) == list(range(n - 7, n)), "incomplete cross"
+        # f: in top field value from out lane value; g: in lane field
+        # value from out top value.  bit pi(l) of f(b) = bit l of b.
+        pi = [cross[el] - (n - 7) for el in range(7)]
+        f = [0] * 128
+        g = [0] * 128
+        for v in range(128):
+            fv = 0
+            gv = 0
+            for el in range(7):
+                fv |= ((v >> el) & 1) << pi[el]
+                gv |= ((v >> pi[el]) & 1) << el
+            f[v] = fv
+            g[v] = gv
+        pf = np.zeros((128, 128), dtype=fdtype)
+        pg = np.zeros((128, 128), dtype=fdtype)
+        pf[np.arange(128), f] = 1.0  # PF[y, i] = [i == f(y)]
+        pg[np.arange(128), g] = 1.0  # PG[x, j] = [j == g(x)]
+        wspec = pl.BlockSpec((128, 128), lambda m: (0, 0),
+                             memory_space=pltpu.VMEM)
+        args = (jnp.asarray(pf), jnp.asarray(pg))
+        in_specs = [spec_in, wspec, wspec]
+        kern = _bitperm_cross_kernel
+
+    def one_plane(p):
+        return pl.pallas_call(
+            kern,
+            grid=(M,),
+            in_specs=in_specs,
+            out_specs=spec_out,
+            out_shape=jax.ShapeDtypeStruct((128, M, 128), fdtype),
+            interpret=interpret,
+        )(p.reshape(128, M, 128), *args).reshape(p.size)
+
+    ore = one_plane(re)
+    # Serialize the planes (capacity liveness: peak 3 planes, the same
+    # budget as the multiswap transpose path).
+    ore, im = jax.lax.optimization_barrier((ore, im))
+    oim = one_plane(im)
+    return ore, oim
 
 
 def _transpose_kernel(x_ref, o_ref):

@@ -157,9 +157,17 @@ def apply_window_op(re, im, op, dtype, interpret, inplace=False):
     * (lane, high) 2q     -> Pallas mixed-pair kernel
     * everything else     -> planar elementwise / complex mixed paths
     """
-    from ..circuit.panelize import DiagOp, MultiSwapOp, WindowPanelOp
+    from ..circuit.panelize import (
+        BitPermOp, DiagOp, MultiSwapOp, WindowPanelOp,
+    )
     from ..ops import pallas_kernels as pk
 
+    if isinstance(op, BitPermOp):
+        # Terminal SWAP network as ONE read+write per plane (12 QFT
+        # bit-reversal pair passes collapse into it).  Out-of-place
+        # per plane with a barrier — peak 3 planes, capacity-safe.
+        return pk.bitperm_planar(re, im, op.mid_pairs, op.cross,
+                                 interpret=interpret)
     if isinstance(op, WindowPanelOp):
         if op.pos == 0:
             return pk.panel_apply_planar(
@@ -309,8 +317,12 @@ def build_window_circuit_fn(
     # Free diag merging in every mode: the capacity tier's fused diag
     # kernel computes phases from index bits in-kernel, so any-mix
     # merged runs are a single aliased pass (layout_safe_diag remains
-    # for the XLA shear fallback, which tests exercise directly).
-    ops = compile_window_schedule(cd, window=window)
+    # for the XLA shear fallback, which tests exercise directly).  At
+    # capacity the merge cap lifts entirely (terms-only DiagOps): a
+    # run of 13 capped diag passes becomes ONE — qft30's 29 diag
+    # sweeps collapse to 4.
+    ops = compile_window_schedule(cd, window=window,
+                                  diag_terms_only=inplace)
 
     def body(re, im):
         for op in ops:

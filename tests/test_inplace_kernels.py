@@ -290,3 +290,140 @@ class TestCapacityKernelsParity:
                 np.asarray(a_re), np.asarray(b_re), atol=1e-5)
             np.testing.assert_allclose(
                 np.asarray(a_im), np.asarray(b_im), atol=1e-5)
+
+
+class TestBitPerm:
+    """bitperm_planar + the terminal-SWAP deferral that feeds it."""
+
+    @staticmethod
+    def _ref_perm(x, n, pairs):
+        idx = np.arange(1 << n)
+        src = np.zeros_like(idx)
+        moved = 0
+        for a, b in pairs:
+            src |= ((idx >> a) & 1) << b
+            src |= ((idx >> b) & 1) << a
+            moved |= (1 << a) | (1 << b)
+        src |= idx & ~moved
+        return x[src]
+
+    @pytest.mark.parametrize("n", [15, 16, 18])
+    def test_full_reversal_matches_numpy(self, n):
+        re, im = _planes(n, n)
+        pairs = [(q, n - 1 - q) for q in range(n // 2)]
+        mid = tuple(p for p in pairs if p[0] >= 7 and p[1] < n - 7)
+        cross = [0] * 7
+        for lo, hi in pairs:
+            if lo < 7:
+                cross[lo] = hi
+        ore, oim = pk.bitperm_planar(re, im, mid, tuple(cross),
+                                     interpret=True)
+        np.testing.assert_array_equal(
+            np.asarray(ore), self._ref_perm(np.asarray(re), n, pairs))
+        np.testing.assert_array_equal(
+            np.asarray(oim), self._ref_perm(np.asarray(im), n, pairs))
+
+    def test_mid_only_permutation(self):
+        n = 16
+        re, im = _planes(n, 44)
+        mid = ((7, 8),)
+        ore, _ = pk.bitperm_planar(re, im, mid, None, interpret=True)
+        np.testing.assert_array_equal(
+            np.asarray(ore), self._ref_perm(np.asarray(re), n, mid))
+
+    def test_cross_non_reversal_bijection(self):
+        n = 15
+        re, im = _planes(n, 45)
+        # lane l <-> top bit (n-7)+l: a non-reversal bijection.
+        cross = tuple((n - 7) + el for el in range(7))
+        pairs = [(el, cross[el]) for el in range(7)]
+        ore, _ = pk.bitperm_planar(re, im, (), cross, interpret=True)
+        np.testing.assert_array_equal(
+            np.asarray(ore), self._ref_perm(np.asarray(re), n, pairs))
+
+    def test_qft_schedule_collapses_swap_tail(self):
+        from quantum_simulations_tpu.circuit.panelize import (
+            BitPermOp, MultiSwapOp, PhysGateOp, compile_window_schedule,
+        )
+        ops = compile_window_schedule(lib.qft(18))
+        bp = [o for o in ops if isinstance(o, BitPermOp)]
+        assert len(bp) == 1
+        assert not any(isinstance(o, MultiSwapOp) for o in ops)
+        # No standalone SWAP stragglers remain.
+        from quantum_simulations_tpu.ops.dense import _SWAP4
+        assert not any(
+            isinstance(o, PhysGateOp)
+            and np.array_equal(np.asarray(o.U, complex), _SWAP4)
+            for o in ops)
+
+    def test_illegal_pairs_fall_back(self):
+        """A terminal lane<->middle SWAP can't ride the kernel."""
+        from quantum_simulations_tpu.circuit.panelize import (
+            BitPermOp, compile_window_schedule,
+        )
+        n = 20
+        gates = [{"qubits": [q], "gate": "H"} for q in range(n)]
+        gates += [{"qubits": [3, 12], "gate": "SWAP"},
+                  {"qubits": [2, 11], "gate": "SWAP"}]
+        cd = {"number_of_qubits": n, "gates": gates}
+        ops = compile_window_schedule(cd)
+        assert not any(isinstance(o, BitPermOp) for o in ops)
+        got = np.asarray(__import__(
+            "quantum_simulations_tpu.runtime.simulator",
+            fromlist=["simulate"]).simulate(cd, mode="window"))
+        np.testing.assert_allclose(got, oracle.simulate(cd), atol=1e-6)
+
+    @pytest.mark.parametrize("n", [16, 17])
+    def test_qft_window_mode_oracle(self, n):
+        from quantum_simulations_tpu.runtime import simulator
+        got = np.asarray(simulator.simulate(lib.qft(n), mode="window"))
+        np.testing.assert_allclose(got, oracle.simulate(lib.qft(n)),
+                                   atol=2e-6)
+
+
+class TestTermsOnlyDiagMerge:
+    """Capacity-tier unbounded diag merge (terms-only DiagOps)."""
+
+    def test_qft_terms_only_schedule_and_oracle(self):
+        from quantum_simulations_tpu.circuit.panelize import (
+            DiagOp, compile_window_schedule,
+        )
+        from quantum_simulations_tpu.runtime import simulator
+        n = 16
+        cd = lib.qft(n)
+        ops = compile_window_schedule(cd, diag_terms_only=True)
+        diags = [o for o in ops if isinstance(o, DiagOp)]
+        assert diags and all(o.d is None and o.terms for o in diags)
+        capped = compile_window_schedule(cd)
+        assert len(diags) <= sum(isinstance(o, DiagOp) for o in capped)
+        fn = simulator.build_window_circuit_fn(
+            cd, dtype="complex64", inplace=True, planar_io=True,
+            donate=False)
+        re, im = dense.zero_state_planar(n)
+        re, im = fn(re, im)
+        got = np.asarray(re) + 1j * np.asarray(im)
+        np.testing.assert_allclose(got, oracle.simulate(cd), atol=2e-6)
+
+    def test_fused_diag_group_path(self):
+        """>=3 cross terms sharing a lane subset hit the factored path."""
+        n = 14
+        gates = [{"qubits": [q], "gate": "H"} for q in range(n)]
+        # Three CRs sharing control qubit 2 (lane) with high targets:
+        # their cross terms all carry lane subset (2,).
+        gates += [{"qubits": [2, t], "gate": "CR", "params": {"k": k}}
+                  for k, t in [(2, 9), (3, 10), (4, 11), (5, 12)]]
+        cd = {"number_of_qubits": n, "gates": gates}
+        from quantum_simulations_tpu.circuit.panelize import (
+            compile_window_schedule, DiagOp,
+        )
+        ops = compile_window_schedule(cd, diag_terms_only=True)
+        diag = [o for o in ops if isinstance(o, DiagOp)]
+        assert diag, "expected a merged diag run"
+        from quantum_simulations_tpu.runtime import simulator
+        fn = simulator.build_window_circuit_fn(
+            cd, dtype="complex64", inplace=True, planar_io=True,
+            donate=False)
+        re, im = dense.zero_state_planar(n)
+        re, im = fn(re, im)
+        got = np.asarray(re) + 1j * np.asarray(im)
+        np.testing.assert_allclose(got, oracle.simulate(cd), atol=2e-6)
