@@ -50,77 +50,84 @@ def parse_name_encoded(raw: str) -> tuple[str, dict]:
     return raw, {}
 
 
+_TOP_KEYS = ("number_of_qubits", "gates")
+_GATE_KEYS = ("qubits", "gate", "params")
+_INT_PARAMS = frozenset({"k", "p", "exponent"})
+
+
+def _strict_int(v: Any) -> bool:
+    return isinstance(v, int) and not isinstance(v, bool)
+
+
 def validate_circuit_dict(d: dict[str, Any], *, core_only: bool = False) -> dict:
     """Validate and normalise a circuit dict.  Raises ValueError on bad input."""
     if not isinstance(d, dict):
-        raise ValueError("circuit must be a dict")
-    missing = {"number_of_qubits", "gates"} - set(d)
-    if missing:
-        raise ValueError(f"missing required keys: {missing}")
-    extra = set(d) - {"number_of_qubits", "gates"}
-    if extra:
-        raise ValueError(f"unknown top-level keys: {extra}")
-
-    n = d["number_of_qubits"]
-    if not isinstance(n, int) or isinstance(n, bool) or n < 1:
+        raise ValueError(f"circuit must be a dict, not {type(d).__name__}")
+    absent = [k for k in _TOP_KEYS if k not in d]
+    if absent:
+        raise ValueError(f"circuit is missing required keys {absent}")
+    stray = [k for k in d if k not in _TOP_KEYS]
+    if stray:
+        raise ValueError(
+            f"unknown top-level keys {stray}; the contract allows exactly "
+            f"{list(_TOP_KEYS)}")
+    n, gates = d["number_of_qubits"], d["gates"]
+    if not _strict_int(n) or n < 1:
         raise ValueError(f"number_of_qubits must be a positive int, got {n!r}")
-    if not isinstance(d["gates"], list):
-        raise ValueError("gates must be a list")
-
+    if not isinstance(gates, list):
+        raise ValueError(f"gates must be a list, not {type(gates).__name__}")
     return {
         "number_of_qubits": n,
-        "gates": [_validate_gate(g, n, i, core_only) for i, g in enumerate(d["gates"])],
+        "gates": [_validate_gate(g, n, i, core_only)
+                  for i, g in enumerate(gates)],
     }
 
 
 def _validate_gate(g: Any, nq: int, idx: int, core_only: bool) -> dict:
-    tag = f"gate[{idx}]"
+    def bad(problem: str):
+        raise ValueError(f"gate[{idx}]: {problem}")
+
     if not isinstance(g, dict):
-        raise ValueError(f"{tag}: must be a dict")
-    if not {"qubits", "gate"} <= set(g):
-        raise ValueError(f"{tag}: missing 'qubits' or 'gate'")
-    unknown = set(g) - {"qubits", "gate", "params"}
-    if unknown:
-        raise ValueError(f"{tag}: unknown keys {unknown}")
+        bad(f"each gate must be a dict, not {type(g).__name__}")
+    if "qubits" not in g or "gate" not in g:
+        bad("a gate needs both 'qubits' and 'gate'")
+    stray = [k for k in g if k not in _GATE_KEYS]
+    if stray:
+        bad(f"unknown keys {set(stray)}; allowed: {list(_GATE_KEYS)}")
+
+    raw = g["gate"]
+    if not isinstance(raw, str):
+        bad(f"gate name must be a string, not {type(raw).__name__}")
+    base, name_params = parse_name_encoded(raw)
+    if base not in (G.CORE_GATES if core_only else G.ALL_GATES):
+        bad(f"unsupported gate {raw!r}")
 
     qubits = g["qubits"]
-    if not isinstance(qubits, list) or not all(
-        isinstance(q, int) and not isinstance(q, bool) for q in qubits
-    ):
-        raise ValueError(f"{tag}: qubits must be list[int]")
-    for q in qubits:
-        if q < 0 or q >= nq:
-            raise ValueError(f"{tag}: qubit {q} out of range [0, {nq})")
-    if len(set(qubits)) != len(qubits):
-        raise ValueError(f"{tag}: duplicate qubits {qubits}")
+    if not (isinstance(qubits, list) and all(_strict_int(q) for q in qubits)):
+        bad(f"{base}: qubits must be list[int]")
+    want = G.arity(base)
+    if len(qubits) != want:
+        bad(f"{base} needs {want} qubit(s), got {len(qubits)}")
+    bogus = [q for q in qubits if not 0 <= q < nq]
+    if bogus:
+        bad(f"qubit {bogus[0]} out of range [0, {nq})")
+    if len(set(qubits)) < len(qubits):
+        bad(f"duplicate qubits {qubits}")
 
-    if not isinstance(g["gate"], str):
-        raise ValueError(f"{tag}: gate name must be a string")
-    base, name_params = parse_name_encoded(g["gate"])
-    allowed = G.CORE_GATES if core_only else G.ALL_GATES
-    if base not in allowed:
-        raise ValueError(f"{tag}: unsupported gate {g['gate']!r}")
-
-    expected = G.arity(base)
-    if len(qubits) != expected:
-        raise ValueError(
-            f"{tag}: {base} needs {expected} qubit(s), got {len(qubits)}"
-        )
-
-    merged = {**name_params, **(g.get("params") or {})}
+    params = {**name_params, **(g.get("params") or {})}
     for key in G.PARAM_SPEC.get(base, ()):
-        if key not in merged:
-            raise ValueError(f"{tag}: {base} requires param {key!r}")
-        val = merged[key]
+        if key not in params:
+            bad(f"{base} requires param {key!r}")
+        v = params[key]
         if key == "U":
-            continue  # array-valued; checked by gate_matrix
-        if key in ("k", "p", "exponent"):
-            if not isinstance(val, int) or isinstance(val, bool):
-                raise ValueError(f"{tag}: param {key!r} must be int")
-        elif not isinstance(val, _NUMERIC) or isinstance(val, bool):
-            raise ValueError(f"{tag}: param {key!r} must be numeric")
+            continue  # array-valued; shape-checked by gate_matrix
+        if key in _INT_PARAMS:
+            if not _strict_int(v):
+                bad(f"param {key!r} must be int, got {v!r}")
+        elif not isinstance(v, _NUMERIC) or isinstance(v, bool):
+            bad(f"param {key!r} must be numeric, got {v!r}")
 
-    return {"qubits": list(qubits), "gate": base, "params": merged}
+    return {"qubits": list(qubits), "gate": base, "params": params}
 
 
 # ---------------------------------------------------------------------------
@@ -131,18 +138,22 @@ def levelize(circuit_dict: dict) -> list[list[dict]]:
     """Group gates into dependency-free levels (ASAP scheduling).
 
     Two gates that share a qubit land in different levels; gate order
-    within the original list is preserved inside each level.  Mirrors
-    the reference semantics (``wenbo_engine/circuit/io.py:106-117``).
+    within the original list is preserved inside each level.  Same
+    semantics as the reference contract
+    (``wenbo_engine/circuit/io.py:106-117``); computed here as an
+    explicit two-pass: per-gate depth first, then bucketing.
     """
-    levels: list[list[dict]] = []
-    qubit_free: dict[int, int] = {}
-    for g in circuit_dict["gates"]:
-        t = max((qubit_free.get(q, 0) for q in g["qubits"]), default=0)
-        while len(levels) <= t:
-            levels.append([])
-        levels[t].append(g)
+    gates = circuit_dict["gates"]
+    frontier: dict[int, int] = {}  # qubit -> first level free for it
+    depth_of = []
+    for g in gates:
+        lvl = max((frontier.get(q, 0) for q in g["qubits"]), default=0)
+        depth_of.append(lvl)
         for q in g["qubits"]:
-            qubit_free[q] = t + 1
+            frontier[q] = lvl + 1
+    levels: list[list[dict]] = [[] for _ in range(max(depth_of, default=-1) + 1)]
+    for g, lvl in zip(gates, depth_of):
+        levels[lvl].append(g)
     return levels
 
 

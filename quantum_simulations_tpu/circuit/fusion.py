@@ -83,31 +83,30 @@ def _split_local(level_gates: list[dict], k: int) -> tuple[list[GateOp], list[Ga
 # ---------------------------------------------------------------------------
 
 def fuse_1q_ops(ops: list[GateOp]) -> list[GateOp]:
-    """Fuse consecutive 1Q gates on the same qubit into one 2x2 matrix.
+    """Fuse runs of 1Q gates on the same qubit into one 2x2 matrix.
 
-    Multi-qubit gates flush pending fusions on their qubits first, so
-    application order is preserved exactly.
+    Each open run is accumulated IN PLACE at the position of its first
+    gate (any op between that position and the run's closing
+    multi-qubit gate acts on other qubits, so the placement is
+    unitarily equivalent); a multi-qubit gate closes the runs on its
+    qubits.
     """
-    if not ops:
-        return ops
-    pending: dict[int, np.ndarray] = {}
     out: list[GateOp] = []
-
-    def flush(q: int) -> None:
-        U = pending.pop(q, None)
-        if U is not None:
-            out.append(GateOp(qubits=(q,), U=U, name="fused1q"))
-
+    open_at: dict[int, int] = {}  # qubit -> index in `out` of its run
     for op in ops:
-        if op.arity == 1:
-            q = op.qubits[0]
-            pending[q] = op.U @ pending[q] if q in pending else op.U.copy()
-        else:
+        if op.arity != 1:
             for q in op.qubits:
-                flush(q)
+                open_at.pop(q, None)
             out.append(op)
-    for q in sorted(pending):
-        flush(q)
+            continue
+        (q,) = op.qubits
+        slot = open_at.get(q)
+        if slot is None:
+            open_at[q] = len(out)
+            out.append(GateOp(qubits=(q,), U=op.U.copy(), name="fused1q"))
+        else:
+            out[slot] = GateOp(qubits=(q,), U=op.U @ out[slot].U,
+                               name="fused1q")
     return out
 
 
@@ -153,41 +152,39 @@ def pack_low_panels(
 # ---------------------------------------------------------------------------
 
 def batch_levels(levels: list[list[dict]], k: int) -> list[Step]:
-    """Batch consecutive all-local levels into fused steps.
+    """Batch maximal runs of all-local levels into fused steps.
 
-    A step containing non-local gates is always a single original
-    level; consecutive all-local levels accumulate into one step whose
-    local ops are 1Q-fused.
+    A level containing any non-local gate is its own step; between
+    such levels, every consecutive all-local level pours into one
+    step whose local ops are then 1Q-fused.
     """
+    split = [(_split_local(lv, k) if lv else ([], []), i)
+             for i, lv in enumerate(levels)]
     steps: list[Step] = []
-    pending: list[GateOp] = []
-    pending_idx: list[int] = []
-
-    def flush_pending() -> None:
-        nonlocal pending, pending_idx
-        if pending:
-            steps.append(Step(
-                local_ops=fuse_1q_ops(pending),
-                nonlocal_ops=[],
-                level_indices=list(pending_idx),
-            ))
-            pending, pending_idx = [], []
-
-    for lv_idx, level_gates in enumerate(levels):
-        if not level_gates:
+    i = 0
+    while i < len(split):
+        (local, nonloc), idx = split[i]
+        if not local and not nonloc:
+            i += 1
             continue
-        local, nonloc = _split_local(level_gates, k)
         if nonloc:
-            flush_pending()
-            steps.append(Step(
-                local_ops=local,
-                nonlocal_ops=nonloc,
-                level_indices=[lv_idx],
-            ))
-        else:
-            pending.extend(local)
-            pending_idx.append(lv_idx)
-    flush_pending()
+            steps.append(Step(local_ops=local, nonlocal_ops=nonloc,
+                              level_indices=[idx]))
+            i += 1
+            continue
+        # Maximal all-local run starting here.
+        run_ops, run_idx = list(local), [idx]
+        i += 1
+        while i < len(split):
+            (loc2, non2), idx2 = split[i]
+            if non2:
+                break
+            if loc2:
+                run_ops.extend(loc2)
+                run_idx.append(idx2)
+            i += 1
+        steps.append(Step(local_ops=fuse_1q_ops(run_ops), nonlocal_ops=[],
+                          level_indices=run_idx))
     return steps
 
 
@@ -235,8 +232,8 @@ def fusion_stats(circuit_dict: dict, k: int, panel_width: int | None = None) -> 
         "original_levels": n_levels,
         "fused_steps": n_steps,
         "local_only_steps": sum(1 for s in steps if not s.nonlocal_ops),
-        "io_reduction": f"{n_levels}->{n_steps} "
-                        f"({(1 - n_steps / max(n_levels, 1)) * 100:.0f}% fewer)",
+        "io_reduction": f"{n_levels} levels -> {n_steps} passes "
+                        f"({(1 - n_steps / max(n_levels, 1)) * 100:.0f}% saved)",
         "ops_before": ops_before,
         "ops_after": ops_after,
     }

@@ -459,13 +459,15 @@ def compile_window_ops(
                     cross[lo] = hi
                 cross = tuple(cross)
         legal = (
-            len(pairs) >= 2
+            cross is not None
             and len(cross_p) + len(mid_p) == len(pairs)
-            and (not cross_p or cross is not None)
         )
         if legal:
             out.append(BitPermOp(tuple(mid_p), cross))
         else:
+            # Mid-only or unclassifiable sets keep the existing paths
+            # (multiswap transpose / pair kernels); deferral to the
+            # tail is still valid and lets _merge_swap_runs fuse them.
             from ..ops.dense import _SWAP4
             out.extend(PhysGateOp(p, _SWAP4, "SWAP") for p in pairs)
 
@@ -581,22 +583,24 @@ def _merge_diag_runs(ops: list, max_qubits: int = DIAG_MERGE_MAX_QUBITS,
 
 @dataclass(frozen=True)
 class BitPermOp:
-    """A whole terminal SWAP network as ONE bit permutation pass.
+    """A terminal SWAP network as one bit permutation.
 
     QFT's bit reversal is the canonical case: its wide SWAP pairs never
     fit a panel window and each costs a full HBM pass on the pair /
     mixed-pair kernels.  When every such SWAP is *terminal* (the last
-    gate on both its qubits) the set is one index-bit permutation the
-    ``ops/pallas_kernels.bitperm_planar`` kernel applies in a single
-    read+write per plane.  TPU analogue of the reference's
-    bit-permutation redistribution (``mpi_redistributer.hpp:20-33``).
+    gate on both its qubits) the set is one index-bit permutation:
+    the 7 lane<->top transpositions run as ONE aliased pass
+    (``ops/pallas_kernels.bitperm_cross_planar``) and the middle
+    transpositions ride the multiswap / pair-kernel paths.  TPU
+    analogue of the reference's bit-permutation redistribution
+    (``mpi_redistributer.hpp:20-33``).
 
     ``mid_pairs``: transpositions within bits [7, n-7).
-    ``cross``: 7-tuple (lane l <-> top bit cross[l], a bijection onto
-    the top 7 bits), or None for a middle-only permutation.
+    ``cross``: 7-tuple (lane l <-> top bit cross[l], a complete
+    bijection onto the top 7 bits).
     """
     mid_pairs: tuple[tuple[int, int], ...]
-    cross: tuple | None
+    cross: tuple
 
 
 @dataclass(frozen=True)

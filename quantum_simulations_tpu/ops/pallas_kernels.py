@@ -1087,126 +1087,92 @@ def mixed_low_pair_planar(
 
 
 # ---------------------------------------------------------------------------
-# Bit-permutation kernel: a whole SWAP network in ONE pass per plane
+# Lane<->top crossing kernel: 7 wide SWAPs in ONE aliased pass
 # ---------------------------------------------------------------------------
 #
-# A set of disjoint SWAP gates is one bit permutation of the state
-# index.  QFT's terminal bit-reversal is the canonical case: 12 of its
-# 15 SWAP pairs never fit a panel window, and running them as
-# individual pair-kernel / mixed-pair passes costs 12 full HBM sweeps
-# (~0.45 s of qft30's capacity wall).  This kernel applies the whole
-# permutation in one read + one write per plane:
+# QFT's terminal bit reversal contains 7 lane<->top SWAP pairs (q,
+# n-1-q) for q < 7 that never fit a panel window; run individually
+# through the mixed-pair kernels they cost 7 full HBM sweeps.  As a
+# set they are one in-tile transform of the (128, M, 128) view (lanes
+# = bits [0,7), top = bits [n-7, n)): the middle index is untouched,
+# so blocks are (128, 8, 128) with IDENTITY index maps — which also
+# makes input_output_aliases safe (each grid step writes exactly the
+# slots it read), i.e. ZERO extra HBM at capacity.
 #
-#   view (128, M, 128): lanes = bits [0,7), middle = [7, n-7),
-#   top = [n-7, n).  Supported permutations factor as
-#     * an arbitrary permutation of the middle bits (the output tile
-#       at middle index m reads the input tile at sigma_mid^-1(m) —
-#       pure block indexing, zero math), and
-#     * an optional complete lane<->top exchange: lane l <-> top bit
-#       cross[l] (a bijection).  The 128x128 tile transform
-#       out[x, y] = X[f(y), g(x)] runs as two permutation-matrix
-#       matmuls on the MXU (exact: 0/1 operands select single f32
-#       entries even through the bf16 passes).
-#
-# TPU analogue of the reference's bit-permutation redistribution
+# The 128x128 tile transform out[x, y] = X[f(y), g(x)] runs as two
+# permutation-matrix matmuls on the MXU (exact: 0/1 operands select
+# single f32 entries even through the bf16 passes).  TPU analogue of
+# the reference's bit-permutation redistribution
 # (``hisvsim_repo/mpi_redistributer.hpp:20-33`` — there across MPI
-# ranks, here across the index bits of one chip's HBM).  Out-of-place
-# per plane (peak 3 planes — capacity-safe); the output is a flat
-# Pallas array, so none of the XLA transpose retiling that OOMed n=30.
+# ranks, here across the index bits of one chip's HBM).  The middle
+# pairs of a SWAP network go through the multiswap / pair-kernel
+# paths; see ``runtime/simulator.apply_window_op``.
 
 
-def _bitperm_copy_kernel(x_ref, o_ref):
-    o_ref[:] = x_ref[:]
+def _bitperm_cross_kernel(re_ref, im_ref, pf_ref, pg_ref,
+                          ore_ref, oim_ref, *, bm):
+    pf = pf_ref[:]
+    pg = pg_ref[:]
+    for ref, oref in ((re_ref, ore_ref), (im_ref, oim_ref)):
+        for j in range(bm):
+            x = ref[:, j, :]
+            # C[y, j] = X[f(y), j]; out[x, y] = C[y, g(x)] via a
+            # dim1-dim1 contraction — no explicit transpose needed.
+            c = jax.lax.dot_general(pf, x, (((1,), (0,)), ((), ())),
+                                    precision=HI)
+            oref[:, j, :] = jax.lax.dot_general(
+                pg, c, (((1,), (1,)), ((), ())), precision=HI)
 
 
-def _bitperm_cross_kernel(x_ref, pf_ref, pg_ref, o_ref):
-    x = x_ref[:].reshape(128, 128)
-    # C[y, j] = X[f(y), j]; out[x, y] = C[y, g(x)] via a dim1-dim1
-    # contraction — no explicit transpose needed.
-    c = jax.lax.dot_general(pf_ref[:], x, (((1,), (0,)), ((), ())),
-                            precision=HI)
-    o = jax.lax.dot_general(pg_ref[:], c, (((1,), (1,)), ((), ())),
-                            precision=HI)
-    o_ref[:] = o.reshape(o_ref.shape)
-
-
-def bitperm_planar(
+def bitperm_cross_planar(
     re: jnp.ndarray,
     im: jnp.ndarray,
-    mid_pairs: tuple,
-    cross: tuple | None,
+    cross: tuple,
     *,
     interpret: bool = False,
+    inplace: bool = False,
 ):
-    """out[i] = in[sigma(i)] for the bit transpositions described above.
-
-    ``mid_pairs``: disjoint (qa, qb) with both bits in [7, n-7).
-    ``cross``: None, or a 7-tuple with cross[l] = the top bit
-    (>= n-7) exchanged with lane bit l — must cover all 7 lanes.
-    sigma is an involution, so in/out index maps use the same pairs.
-    """
+    """out[i] = in[sigma(i)], sigma = the 7 transpositions lane l <->
+    top bit cross[l] (a complete bijection onto [n-7, n))."""
     n = int(np.log2(re.size))
-    assert n >= 15, "bitperm needs the (128, M, 128) view"
+    assert n >= 14, "crossing kernel needs the (128, M, 128) view"
+    assert sorted(cross) == list(range(n - 7, n)), "incomplete cross"
     M = 1 << (n - 14)
-    mrel = tuple((a - 7, b - 7) for a, b in mid_pairs)
-
-    def in_map(m):
-        r = 0
-        moved = 0
-        for a, b in mrel:
-            r = r | (((m >> a) & 1) << b) | (((m >> b) & 1) << a)
-            moved |= (1 << a) | (1 << b)
-        r = r | (m & ~moved)
-        return (0, r, 0)
-
+    BM = 8 if M >= 8 else M
+    # f: in top field value from out lane value; g: in lane field
+    # value from out top value.  bit pi(l) of f(b) = bit l of b.
+    pi = [cross[el] - (n - 7) for el in range(7)]
+    f = [0] * 128
+    g = [0] * 128
+    for v in range(128):
+        fv = 0
+        gv = 0
+        for el in range(7):
+            fv |= ((v >> el) & 1) << pi[el]
+            gv |= ((v >> pi[el]) & 1) << el
+        f[v] = fv
+        g[v] = gv
     fdtype = re.dtype
-    spec_in = pl.BlockSpec((128, 1, 128), lambda m: in_map(m),
-                           memory_space=pltpu.VMEM)
-    spec_out = pl.BlockSpec((128, 1, 128), lambda m: (0, m, 0),
-                            memory_space=pltpu.VMEM)
-    if cross is None:
-        args, in_specs, kern = (), [spec_in], _bitperm_copy_kernel
-    else:
-        assert sorted(cross) == list(range(n - 7, n)), "incomplete cross"
-        # f: in top field value from out lane value; g: in lane field
-        # value from out top value.  bit pi(l) of f(b) = bit l of b.
-        pi = [cross[el] - (n - 7) for el in range(7)]
-        f = [0] * 128
-        g = [0] * 128
-        for v in range(128):
-            fv = 0
-            gv = 0
-            for el in range(7):
-                fv |= ((v >> el) & 1) << pi[el]
-                gv |= ((v >> pi[el]) & 1) << el
-            f[v] = fv
-            g[v] = gv
-        pf = np.zeros((128, 128), dtype=fdtype)
-        pg = np.zeros((128, 128), dtype=fdtype)
-        pf[np.arange(128), f] = 1.0  # PF[y, i] = [i == f(y)]
-        pg[np.arange(128), g] = 1.0  # PG[x, j] = [j == g(x)]
-        wspec = pl.BlockSpec((128, 128), lambda m: (0, 0),
-                             memory_space=pltpu.VMEM)
-        args = (jnp.asarray(pf), jnp.asarray(pg))
-        in_specs = [spec_in, wspec, wspec]
-        kern = _bitperm_cross_kernel
+    pf = np.zeros((128, 128), dtype=fdtype)
+    pg = np.zeros((128, 128), dtype=fdtype)
+    pf[np.arange(128), f] = 1.0  # PF[y, i] = [i == f(y)]
+    pg[np.arange(128), g] = 1.0  # PG[x, j] = [j == g(x)]
 
-    def one_plane(p):
-        return pl.pallas_call(
-            kern,
-            grid=(M,),
-            in_specs=in_specs,
-            out_specs=spec_out,
-            out_shape=jax.ShapeDtypeStruct((128, M, 128), fdtype),
-            interpret=interpret,
-        )(p.reshape(128, M, 128), *args).reshape(p.size)
-
-    ore = one_plane(re)
-    # Serialize the planes (capacity liveness: peak 3 planes, the same
-    # budget as the multiswap transpose path).
-    ore, im = jax.lax.optimization_barrier((ore, im))
-    oim = one_plane(im)
-    return ore, oim
+    spec = pl.BlockSpec((128, BM, 128), lambda m: (0, m, 0),
+                        memory_space=pltpu.VMEM)
+    wspec = pl.BlockSpec((128, 128), lambda m: (0, 0),
+                         memory_space=pltpu.VMEM)
+    ore, oim = pl.pallas_call(
+        functools.partial(_bitperm_cross_kernel, bm=BM),
+        grid=(M // BM,),
+        in_specs=[spec, spec, wspec, wspec],
+        out_specs=[spec, spec],
+        out_shape=[jax.ShapeDtypeStruct((128, M, 128), fdtype)] * 2,
+        input_output_aliases={0: 0, 1: 1} if inplace else {},
+        interpret=interpret,
+    )(re.reshape(128, M, 128), im.reshape(128, M, 128),
+      jnp.asarray(pf), jnp.asarray(pg))
+    return ore.reshape(re.size), oim.reshape(im.size)
 
 
 def _transpose_kernel(x_ref, o_ref):

@@ -163,11 +163,19 @@ def apply_window_op(re, im, op, dtype, interpret, inplace=False):
     from ..ops import pallas_kernels as pk
 
     if isinstance(op, BitPermOp):
-        # Terminal SWAP network as ONE read+write per plane (12 QFT
-        # bit-reversal pair passes collapse into it).  Out-of-place
-        # per plane with a barrier — peak 3 planes, capacity-safe.
-        return pk.bitperm_planar(re, im, op.mid_pairs, op.cross,
-                                 interpret=interpret)
+        # Terminal SWAP network: the 7 lane<->top transpositions run
+        # as ONE aliased crossing pass; middle transpositions ride the
+        # multiswap / pair-kernel paths first (disjoint bit sets — the
+        # two halves commute).
+        if op.mid_pairs:
+            from ..circuit.panelize import MultiSwapOp as _MS
+            re, im = apply_window_op(re, im, _MS(op.mid_pairs), dtype,
+                                     interpret, inplace)
+            if inplace:
+                re, im = jax.lax.optimization_barrier((re, im))
+        return pk.bitperm_cross_planar(re, im, op.cross,
+                                       interpret=interpret,
+                                       inplace=inplace)
     if isinstance(op, WindowPanelOp):
         if op.pos == 0:
             return pk.panel_apply_planar(

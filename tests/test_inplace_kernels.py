@@ -308,28 +308,25 @@ class TestBitPerm:
         return x[src]
 
     @pytest.mark.parametrize("n", [15, 16, 18])
-    def test_full_reversal_matches_numpy(self, n):
+    def test_crossing_reversal_matches_numpy(self, n):
         re, im = _planes(n, n)
-        pairs = [(q, n - 1 - q) for q in range(n // 2)]
-        mid = tuple(p for p in pairs if p[0] >= 7 and p[1] < n - 7)
-        cross = [0] * 7
-        for lo, hi in pairs:
-            if lo < 7:
-                cross[lo] = hi
-        ore, oim = pk.bitperm_planar(re, im, mid, tuple(cross),
-                                     interpret=True)
+        pairs = [(q, n - 1 - q) for q in range(7)]
+        cross = tuple(n - 1 - q for q in range(7))
+        ore, oim = pk.bitperm_cross_planar(re, im, cross, interpret=True)
         np.testing.assert_array_equal(
             np.asarray(ore), self._ref_perm(np.asarray(re), n, pairs))
         np.testing.assert_array_equal(
             np.asarray(oim), self._ref_perm(np.asarray(im), n, pairs))
 
-    def test_mid_only_permutation(self):
+    def test_crossing_inplace_parity(self):
         n = 16
         re, im = _planes(n, 44)
-        mid = ((7, 8),)
-        ore, _ = pk.bitperm_planar(re, im, mid, None, interpret=True)
-        np.testing.assert_array_equal(
-            np.asarray(ore), self._ref_perm(np.asarray(re), n, mid))
+        cross = tuple(n - 1 - q for q in range(7))
+        a = pk.bitperm_cross_planar(re, im, cross, interpret=True)
+        b = pk.bitperm_cross_planar(re, im, cross, interpret=True,
+                                    inplace=True)
+        np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+        np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
 
     def test_cross_non_reversal_bijection(self):
         n = 15
@@ -337,7 +334,7 @@ class TestBitPerm:
         # lane l <-> top bit (n-7)+l: a non-reversal bijection.
         cross = tuple((n - 7) + el for el in range(7))
         pairs = [(el, cross[el]) for el in range(7)]
-        ore, _ = pk.bitperm_planar(re, im, (), cross, interpret=True)
+        ore, _ = pk.bitperm_cross_planar(re, im, cross, interpret=True)
         np.testing.assert_array_equal(
             np.asarray(ore), self._ref_perm(np.asarray(re), n, pairs))
 
