@@ -179,6 +179,60 @@ def panel_scaling(n: int = 28, ks=(2, 4, 8, 16), reps: int = 6,
     return {"rows": rows, "fit": fit}
 
 
+def diag_variants(n: int = 28, iters: int = 8, reps: int = 3) -> list:
+    """Race fused_diag_planar formulations on a big merged QFT run.
+
+    The decisive round-2c measurement: in-kernel (BA, 8, 1)-shaped row
+    math occupies whole (8, 128) vregs, so 98 row terms cost 34 ms at
+    n=28 against a 5.5 ms kernel floor; XLA-precomputed row cos/sin
+    tables + lane-subset group rotations bring the full 147-term pass
+    to ~13 ms.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from . import timeit
+    from ..circuit import library as lib
+    from ..circuit.panelize import DiagOp, compile_window_schedule
+    from ..ops import pallas_kernels as pk
+
+    ops = compile_window_schedule(lib.qft(n), diag_terms_only=True)
+    big = max((o for o in ops if isinstance(o, DiagOp)),
+              key=lambda o: len(o.terms))
+    terms = big.terms
+    row = tuple((qs, c) for qs, c in terms
+                if qs and all(q >= 7 for q in qs))
+    variants = [
+        ("full_grouped", dict(terms=terms, group_min=1)),
+        ("full_scalar_cross", dict(terms=terms, group_min=10 ** 9)),
+        ("row_only", dict(terms=row, group_min=1)),
+        ("const_only", dict(terms=(((), 0.3),), group_min=1)),
+    ]
+    nbytes = 2 * (1 << n) * 4
+    rows = []
+    for tag, kw in variants:
+        def prog(kw=kw):
+            re = jnp.full(1 << n, 0.5, jnp.float32)
+            im = jnp.full(1 << n, 0.25, jnp.float32)
+            for _ in range(iters):
+                re, im = jax.lax.optimization_barrier(
+                    pk.fused_diag_planar(re, im, **kw))
+            return jnp.sum(re * 1e-9) + jnp.sum(im * 1e-9)
+
+        r = {"variant": tag, "n_terms": len(kw["terms"])}
+        try:
+            c = jax.jit(prog).lower().compile()
+            dt = timeit(lambda: float(jax.device_get(c())), reps)
+            per = max((dt - 0.044) / iters, 1e-9)
+            r.update({"s_per_pass": round(per, 5),
+                      "GBs": round(2 * nbytes / per / 1e9, 1)})
+        except Exception as e:
+            r["error"] = f"{type(e).__name__}: {str(e)[:160]}"
+        rows.append(r)
+        print(json.dumps(r), flush=True)
+    return rows
+
+
 if __name__ == "__main__":
     import sys
 
@@ -190,4 +244,6 @@ if __name__ == "__main__":
         out["nonstab_variants"] = nonstab_variants()
     if which in ("all", "scaling"):
         out["panel_scaling"] = panel_scaling()
+    if which in ("all", "diag"):
+        out["diag_variants"] = diag_variants()
     print(json.dumps(out, indent=1))

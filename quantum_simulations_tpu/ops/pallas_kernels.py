@@ -831,6 +831,72 @@ def _fused_diag_kernel(re_ref, im_ref, ore_ref, oim_ref, *,
     oim_ref[:] = r * s + i * c
 
 
+def _fused_diag_tab_kernel(re_ref, im_ref, cr_ref, sr_ref, *rest,
+                           lane_terms, cross_terms, group_masks, ba):
+    # Row-side cos/sin arrive as precomputed (BA, 8) table blocks —
+    # computed ONCE per pass in XLA over the N/128 row indices at full
+    # lane utilization.  Racing showed in-kernel (BA, 8, 1)-shaped row
+    # math occupies whole (8, 128) vregs (1/128 lanes useful), so 98
+    # row terms cost 34 ms/pass at n=28 where the kernel floor is
+    # 5.5 ms; the tables reduce the kernel's row-side work to one
+    # broadcast multiply per table.
+    grp_refs = rest[:-2]
+    ore_ref, oim_ref = rest[-2:]
+    f = re_ref.dtype
+    ia = jax.lax.broadcasted_iota(jnp.int32, (ba, 8, 1), 0) \
+        + pl.program_id(0) * ba
+    ip = jax.lax.broadcasted_iota(jnp.int32, (ba, 8, 1), 1)
+    il = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 128), 2)
+
+    def bit(q):
+        if q < 7:
+            return ((il >> q) & 1).astype(f)
+        if q < 10:
+            return ((ip >> (q - 7)) & 1).astype(f)
+        return ((ia >> (q - 10)) & 1).astype(f)
+
+    tl = jnp.zeros((1, 1, 128), f)
+    for qs, coeff in lane_terms:
+        t = jnp.full((1, 1, 128), coeff, f)
+        for q in qs:
+            t = t * bit(q)
+        tl = tl + t
+    cl, sl = jnp.cos(tl), jnp.sin(tl)
+    cr = cr_ref[:][:, :, None]
+    sr = sr_ref[:][:, :, None]
+    c = cr * cl - sr * sl
+    s = sr * cl + cr * sl
+    for gi, low_qs in enumerate(group_masks):
+        cg = grp_refs[2 * gi][:][:, :, None]
+        sg = grp_refs[2 * gi + 1][:][:, :, None]
+        m = jnp.ones((1, 1, 128), f)
+        for q in low_qs:
+            m = m * bit(q)
+        ck = 1.0 + (cg - 1.0) * m
+        sk = sg * m
+        c, s = c * ck - s * sk, s * ck + c * sk
+    for qs, coeff in cross_terms:  # ungrouped leftovers (rare)
+        m = jnp.ones((1, 1, 1), f)
+        for q in qs:
+            m = m * bit(q)
+        ck = 1.0 + (float(np.cos(coeff)) - 1.0) * m
+        sk = float(np.sin(coeff)) * m
+        c, s = c * ck - s * sk, s * ck + c * sk
+
+    r = re_ref[:]
+    i = im_ref[:]
+    ore_ref[:] = r * c - i * s
+    oim_ref[:] = r * s + i * c
+
+
+# Above this many row-side terms the row-table path pays for itself
+# (below it, the in-kernel iota math avoids the extra table operands).
+_DIAG_TABLE_MIN_TERMS = 4
+# Table pairs are one HBM operand each (N/128 f32); cap how many ride
+# one pass so table traffic stays a small fraction of the plane sweep.
+_DIAG_MAX_GROUPS = 16
+
+
 def fused_diag_planar(
     re: jnp.ndarray,
     im: jnp.ndarray,
@@ -838,16 +904,20 @@ def fused_diag_planar(
     *,
     interpret: bool = False,
     inplace: bool = False,
+    group_min: int = 1,
 ):
     """Merged diagonal run in ONE aliased pass — any qubit mix.
 
     ``terms`` is the Möbius phase decomposition
     (``circuit/panelize.diag_phase_terms``): theta(idx) = sum of
-    coeff * prod(index bits).  The kernel recomputes theta from iota
-    bit arithmetic per (A, 8, 128) block — no 2^m table, no gather,
-    no layout-unsafe broadcast — so the capacity tier applies a whole
-    diagonal run at elementwise speed where the XLA shear path needed
-    3-4 full HBM passes.  TPU analogue of the reference's fused
+    coeff * prod(index bits).  Row-heavy runs precompute per-row
+    cos/sin tables in XLA (shape (N/1024, 8), one table pair for the
+    pure-row angle and one per lane-subset cross group) and the kernel
+    applies them as broadcast rotations; light runs compute everything
+    from iota bit arithmetic in-kernel.  Either way: no 2^m table, no
+    gather, no layout-unsafe broadcast — the capacity tier applies a
+    whole diagonal run at elementwise speed where the XLA shear path
+    needed 3-4 full HBM passes.  TPU analogue of the reference's fused
     diagonal entry tables (``v3 parallel_gate_applicator.py:128-232``).
     """
     N = re.size
@@ -873,23 +943,73 @@ def fused_diag_planar(
         low = tuple(q for q in qs if q < 7)
         row = tuple(q for q in qs if q >= 7)
         by_low.setdefault(low, []).append((row, coeff))
+    use_tables = (len(row_terms) + len(cross_all)
+                  >= _DIAG_TABLE_MIN_TERMS)
+    threshold = group_min if use_tables else max(group_min, 3)
     cross_terms, group_terms = [], []
     for low, rterms in by_low.items():
-        if len(rterms) >= 3:
+        if len(rterms) >= threshold:
             group_terms.append((low, tuple(rterms)))
         else:
             cross_terms.extend(
                 (tuple(sorted(low + row)), c) for row, c in rterms)
 
     # 64-row blocks (256 KB per plane buffer).  Measured 415-460 GB/s
-    # on v5e at BA 16 and 64 (within run-to-run noise): the kernel is
-    # VPU-bound on the per-element angle-composition math, not grid
-    # overhead — one pass still beats N broadcast passes per gate.
+    # on v5e at BA 16 and 64 (within run-to-run noise).
     BA = min(A, 64)
     while A % BA:
         BA //= 2
     spec = pl.BlockSpec((BA, 8, 128), lambda a: (a, 0, 0),
                         memory_space=pltpu.VMEM)
+
+    if use_tables:
+        # Row-table path: evaluate every row-side angle ONCE over the
+        # N/128 row indices in XLA (full lane utilization), ship
+        # cos/sin as (A, 8) operands.  Groups beyond the table cap
+        # fall back to scalar cross terms.
+        group_terms.sort(key=lambda g: len(g[1]), reverse=True)
+        tabled = group_terms[:_DIAG_MAX_GROUPS]
+        for low, rterms in group_terms[_DIAG_MAX_GROUPS:]:
+            cross_terms.extend(
+                (tuple(sorted(low + rw)), c) for rw, c in rterms)
+
+        ridx = jnp.arange(N // 128, dtype=jnp.int32)
+
+        def row_angle(rterms):
+            th = jnp.zeros(N // 128, fdtype)
+            for qs, coeff in rterms:
+                t = jnp.full(N // 128, coeff, fdtype)
+                for q in qs:
+                    t = t * ((ridx >> (q - 7)) & 1).astype(fdtype)
+                th = th + t
+            return th
+
+        th0 = row_angle(row_terms)
+        tables = [jnp.cos(th0).reshape(A, 8), jnp.sin(th0).reshape(A, 8)]
+        group_masks = []
+        for low, rterms in tabled:
+            # Pure-row subterms of this lane-subset group.
+            ag = row_angle(rterms)
+            tables += [jnp.cos(ag).reshape(A, 8),
+                       jnp.sin(ag).reshape(A, 8)]
+            group_masks.append(low)
+        tspec = pl.BlockSpec((BA, 8), lambda a: (a, 0),
+                             memory_space=pltpu.VMEM)
+        kern = functools.partial(
+            _fused_diag_tab_kernel, lane_terms=tuple(lane_terms),
+            cross_terms=tuple(cross_terms),
+            group_masks=tuple(group_masks), ba=BA)
+        ore, oim = pl.pallas_call(
+            kern,
+            grid=(A // BA,),
+            in_specs=[spec, spec] + [tspec] * len(tables),
+            out_specs=[spec, spec],
+            out_shape=[jax.ShapeDtypeStruct((A, 8, 128), fdtype)] * 2,
+            input_output_aliases={0: 0, 1: 1} if inplace else {},
+            interpret=interpret,
+        )(re.reshape(A, 8, 128), im.reshape(A, 8, 128), *tables)
+        return ore.reshape(N), oim.reshape(N)
+
     kern = functools.partial(
         _fused_diag_kernel, row_terms=tuple(row_terms),
         lane_terms=tuple(lane_terms), cross_terms=tuple(cross_terms),
