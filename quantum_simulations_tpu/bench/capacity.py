@@ -29,7 +29,9 @@ def _compile_with_retries(build, retries=3):
     raise last
 
 
-def run(ns=(30,), reps: int = 3, retries: int = 3) -> dict:
+def run(ns=(30,), reps: int = 3, retries: int = 3, only=None) -> dict:
+    """``only``: optional subset of config tags (e.g. {"qft30"}) — a
+    failing config can then be re-measured without re-running the rest."""
     import jax
     import jax.numpy as jnp
 
@@ -50,6 +52,8 @@ def run(ns=(30,), reps: int = 3, retries: int = 3) -> dict:
             # per plane: peak 3 planes = 12 GiB at n=30, still fits).
             (f"qft{n}", lib.qft(n), False),
         ]
+        if only:
+            configs = [c for c in configs if c[0] in only]
         for tag, cd, check_amps in configs:
             row = {"config": tag, "n": n, "gates": len(cd["gates"])}
             P = jax.ShapeDtypeStruct((1 << n,), jnp.float32)
@@ -122,5 +126,14 @@ def run(ns=(30,), reps: int = 3, retries: int = 3) -> dict:
 if __name__ == "__main__":
     import sys
 
-    ns = tuple(int(a) for a in sys.argv[1:]) or (30,)
-    print(json.dumps(run(ns=ns), indent=1))
+    # Args: ints select n values; tags like "qft30" select single
+    # configs (implying their n).
+    ns, only = [], set()
+    for a in sys.argv[1:]:
+        if a.isdigit():
+            ns.append(int(a))
+        else:
+            only.add(a)
+            ns.append(int("".join(ch for ch in a if ch.isdigit())))
+    ns = tuple(dict.fromkeys(ns)) or (30,)
+    print(json.dumps(run(ns=ns, only=only or None), indent=1))

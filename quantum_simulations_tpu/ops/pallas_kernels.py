@@ -895,6 +895,26 @@ _DIAG_TABLE_MIN_TERMS = 4
 # Table pairs are one HBM operand each (N/128 f32); cap how many ride
 # one pass so table traffic stays a small fraction of the plane sweep.
 _DIAG_MAX_GROUPS = 16
+# Device HBM for the table-budget computation (v5e: 16 GiB).
+_HBM_BYTES = int(__import__("os").environ.get(
+    "QST_HBM_BYTES", str(16 * (1 << 30))))
+
+
+def _diag_tables_per_pass(N: int) -> int:
+    """How many (A, 8) f32 cos/sin tables fit one pass's HBM budget.
+
+    An (A, 8) f32 operand takes the TPU's T(8,128) tiled layout: the
+    8-wide minor dim pads to 128 lanes, a 16x expansion, so each table
+    costs N/2 bytes of HBM (not N/32).  At n=28 all 34 tables of a
+    147-term merged run fit trivially; at n=30 the planes are 8 GiB of
+    a 16 GiB chip and only ~14 padded tables fit — beyond that the
+    rotation must split into multiple near-roofline passes (measured:
+    two ~40 ms passes beat one pass whose spilled groups fall back to
+    1/128-lane-utilization in-kernel math, ~300 ms).
+    """
+    plane_bytes = 8 * N  # two f32 planes
+    padded_table = max(N // 2, 1)
+    return max(4, int((_HBM_BYTES - 1.1 * plane_bytes) // padded_table))
 
 
 def fused_diag_planar(
@@ -966,17 +986,23 @@ def fused_diag_planar(
         # Row-table path: evaluate every row-side angle ONCE over the
         # N/128 row indices in XLA (full lane utilization), ship
         # cos/sin as (A, 8) operands.  Groups beyond the table cap
-        # fall back to scalar cross terms.
+        # fall back to scalar cross terms; when the padded tables
+        # exceed the pass's HBM budget (n >= 30), the rotation splits
+        # into several sequential near-roofline passes instead.
         group_terms.sort(key=lambda g: len(g[1]), reverse=True)
         tabled = group_terms[:_DIAG_MAX_GROUPS]
         for low, rterms in group_terms[_DIAG_MAX_GROUPS:]:
             cross_terms.extend(
                 (tuple(sorted(low + rw)), c) for rw, c in rterms)
 
+        gcap = max(1, (_diag_tables_per_pass(N) - 2) // 2)
+        chunks = [tabled[i:i + gcap]
+                  for i in range(0, len(tabled), gcap)] or [[]]
+
         ridx = jnp.arange(N // 128, dtype=jnp.int32)
 
-        def row_angle(rterms):
-            th = jnp.zeros(N // 128, fdtype)
+        def row_angle(rterms, dep):
+            th = jnp.full(N // 128, dep, fdtype)
             for qs, coeff in rterms:
                 t = jnp.full(N // 128, coeff, fdtype)
                 for q in qs:
@@ -984,31 +1010,41 @@ def fused_diag_planar(
                 th = th + t
             return th
 
-        th0 = row_angle(row_terms)
-        tables = [jnp.cos(th0).reshape(A, 8), jnp.sin(th0).reshape(A, 8)]
-        group_masks = []
-        for low, rterms in tabled:
-            # Pure-row subterms of this lane-subset group.
-            ag = row_angle(rterms)
-            tables += [jnp.cos(ag).reshape(A, 8),
-                       jnp.sin(ag).reshape(A, 8)]
-            group_masks.append(low)
-        tspec = pl.BlockSpec((BA, 8), lambda a: (a, 0),
-                             memory_space=pltpu.VMEM)
-        kern = functools.partial(
-            _fused_diag_tab_kernel, lane_terms=tuple(lane_terms),
-            cross_terms=tuple(cross_terms),
-            group_masks=tuple(group_masks), ba=BA)
-        ore, oim = pl.pallas_call(
-            kern,
-            grid=(A // BA,),
-            in_specs=[spec, spec] + [tspec] * len(tables),
-            out_specs=[spec, spec],
-            out_shape=[jax.ShapeDtypeStruct((A, 8, 128), fdtype)] * 2,
-            input_output_aliases={0: 0, 1: 1} if inplace else {},
-            interpret=interpret,
-        )(re.reshape(A, 8, 128), im.reshape(A, 8, 128), *tables)
-        return ore.reshape(N), oim.reshape(N)
+        for ci, chunk in enumerate(chunks):
+            rt = row_terms if ci == 0 else []
+            lt = lane_terms if ci == 0 else []
+            ct = cross_terms if ci == 0 else []
+            # Later passes' tables must not be live during earlier
+            # passes (each pass's padded tables use most of the HBM
+            # headroom at n=30): a data dependency on the previous
+            # pass's output stops the latency scheduler hoisting them.
+            dep = re.reshape(-1)[0] * 0 if ci else jnp.asarray(0, fdtype)
+            th0 = row_angle(rt, dep)
+            tables = [jnp.cos(th0).reshape(A, 8),
+                      jnp.sin(th0).reshape(A, 8)]
+            group_masks = []
+            for low, rterms in chunk:
+                # Pure-row subterms of this lane-subset group.
+                ag = row_angle(rterms, dep)
+                tables += [jnp.cos(ag).reshape(A, 8),
+                           jnp.sin(ag).reshape(A, 8)]
+                group_masks.append(low)
+            tspec = pl.BlockSpec((BA, 8), lambda a: (a, 0),
+                                 memory_space=pltpu.VMEM)
+            kern = functools.partial(
+                _fused_diag_tab_kernel, lane_terms=tuple(lt),
+                cross_terms=tuple(ct),
+                group_masks=tuple(group_masks), ba=BA)
+            re, im = pl.pallas_call(
+                kern,
+                grid=(A // BA,),
+                in_specs=[spec, spec] + [tspec] * len(tables),
+                out_specs=[spec, spec],
+                out_shape=[jax.ShapeDtypeStruct((A, 8, 128), fdtype)] * 2,
+                input_output_aliases={0: 0, 1: 1} if inplace else {},
+                interpret=interpret,
+            )(re.reshape(A, 8, 128), im.reshape(A, 8, 128), *tables)
+        return re.reshape(N), im.reshape(N)
 
     kern = functools.partial(
         _fused_diag_kernel, row_terms=tuple(row_terms),
