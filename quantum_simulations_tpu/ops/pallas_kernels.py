@@ -831,29 +831,79 @@ def _fused_diag_kernel(re_ref, im_ref, ore_ref, oim_ref, *,
     oim_ref[:] = r * s + i * c
 
 
-def _fused_diag_tab_kernel(re_ref, im_ref, cr_ref, sr_ref, *rest,
-                           lane_terms, cross_terms, group_masks, ba):
-    # Row-side cos/sin arrive as precomputed (BA, 8) table blocks —
-    # computed ONCE per pass in XLA over the N/128 row indices at full
-    # lane utilization.  Racing showed in-kernel (BA, 8, 1)-shaped row
-    # math occupies whole (8, 128) vregs (1/128 lanes useful), so 98
-    # row terms cost 34 ms/pass at n=28 where the kernel floor is
-    # 5.5 ms; the tables reduce the kernel's row-side work to one
-    # broadcast multiply per table.
-    grp_refs = rest[:-2]
+def _fused_diag_small_kernel(re_ref, im_ref, *rest, lane_terms,
+                             cross_terms, sources, ba):
+    # Every row-side angle decomposes by the block structure of the
+    # (A, 8, 128) plane view: state bits [7, SPLIT) vary INSIDE a
+    # block (sublane + local block-row) and bits >= SPLIT are fixed
+    # per grid step.  So each angle source (the pure-row angle, and
+    # one per lane-subset cross group) splits into
+    #   - an in-block part: a (BA, 8) cos/sin CONSTANT table (512
+    #     numpy literals, constant index map -> one DMA per pass),
+    #   - a per-block part: a SCALAR angle from program_id bits
+    #     (cos/sin of a scalar is one vreg of work),
+    #   - straddle terms (bits on both sides): a skinny masked
+    #     rotation whose angle is again a program_id scalar,
+    # composed on (BA, 8, 1) values.  No 16x-padded (A, 8) operands
+    # (they OOMed n=30 and paid 16x read traffic), no per-pass XLA
+    # table generation (a full-size table costs more to generate than
+    # the plane sweep it serves), no lane-offset slicing or in-kernel
+    # relayouts (measured 9-27 GB/s — Mosaic lowers them to scalar
+    # shuffles).
     ore_ref, oim_ref = rest[-2:]
+    tab_refs = rest[:-2]
     f = re_ref.dtype
-    ia = jax.lax.broadcasted_iota(jnp.int32, (ba, 8, 1), 0) \
-        + pl.program_id(0) * ba
+    a = pl.program_id(0)
+    ia = jax.lax.broadcasted_iota(jnp.int32, (ba, 8, 1), 0) + a * ba
+    ilj = jax.lax.broadcasted_iota(jnp.int32, (ba, 8, 1), 0)
     ip = jax.lax.broadcasted_iota(jnp.int32, (ba, 8, 1), 1)
     il = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 128), 2)
 
-    def bit(q):
+    def bit(q):  # global index bit (leftover cross terms)
         if q < 7:
             return ((il >> q) & 1).astype(f)
         if q < 10:
             return ((ip >> (q - 7)) & 1).astype(f)
         return ((ia >> (q - 10)) & 1).astype(f)
+
+    def bit_in(q):  # in-block row bit, 7 <= q < SPLIT
+        if q < 10:
+            return ((ip >> (q - 7)) & 1).astype(f)
+        return ((ilj >> (q - 10)) & 1).astype(f)
+
+    def blk_angle(shift_terms):  # scalar angle from program_id bits
+        th = jnp.zeros((), f)
+        for shifts, coeff in shift_terms:
+            t = jnp.full((), coeff, f)
+            for k in shifts:
+                t = t * ((a >> k) & 1).astype(f)
+            th = th + t
+        return th
+
+    ti = 0
+    skinny = []
+    for low_qs, has_in, blk_terms, straddles in sources:
+        if has_in:
+            c = tab_refs[ti][:][:, :, None]
+            s = tab_refs[ti + 1][:][:, :, None]
+            ti += 2
+        else:
+            c = jnp.ones((1, 1, 1), f)
+            s = jnp.zeros((1, 1, 1), f)
+        if blk_terms:
+            th = blk_angle(blk_terms)
+            cb, sb = jnp.cos(th), jnp.sin(th)
+            c, s = c * cb - s * sb, s * cb + c * sb
+        for inkey, dterms in straddles:
+            d = blk_angle(dterms)
+            cd, sd = jnp.cos(d), jnp.sin(d)
+            m = jnp.ones((1, 1, 1), f)
+            for q in inkey:
+                m = m * bit_in(q)
+            ck = 1.0 + (cd - 1.0) * m
+            sk = sd * m
+            c, s = c * ck - s * sk, s * ck + c * sk
+        skinny.append((low_qs, c, s))
 
     tl = jnp.zeros((1, 1, 128), f)
     for qs, coeff in lane_terms:
@@ -862,13 +912,10 @@ def _fused_diag_tab_kernel(re_ref, im_ref, cr_ref, sr_ref, *rest,
             t = t * bit(q)
         tl = tl + t
     cl, sl = jnp.cos(tl), jnp.sin(tl)
-    cr = cr_ref[:][:, :, None]
-    sr = sr_ref[:][:, :, None]
+    _, cr, sr = skinny[0]  # base source (low_qs is None)
     c = cr * cl - sr * sl
     s = sr * cl + cr * sl
-    for gi, low_qs in enumerate(group_masks):
-        cg = grp_refs[2 * gi][:][:, :, None]
-        sg = grp_refs[2 * gi + 1][:][:, :, None]
+    for low_qs, cg, sg in skinny[1:]:
         m = jnp.ones((1, 1, 128), f)
         for q in low_qs:
             m = m * bit(q)
@@ -895,28 +942,6 @@ _DIAG_TABLE_MIN_TERMS = 4
 # Table pairs are one HBM operand each (N/128 f32); cap how many ride
 # one pass so table traffic stays a small fraction of the plane sweep.
 _DIAG_MAX_GROUPS = 16
-# Device HBM for the table-budget computation (v5e: 16 GiB).
-_HBM_BYTES = int(__import__("os").environ.get(
-    "QST_HBM_BYTES", str(16 * (1 << 30))))
-
-
-def _diag_tables_per_pass(N: int) -> int:
-    """How many (A, 8) f32 cos/sin tables fit one pass's HBM budget.
-
-    An (A, 8) f32 operand takes the TPU's T(8,128) tiled layout: the
-    8-wide minor dim pads to 128 lanes, a 16x expansion, so each table
-    costs N/2 bytes of HBM (not N/32).  At n=28 all 34 tables of a
-    147-term merged run fit trivially; at n=30 the planes are 8 GiB of
-    a 16 GiB chip and only ~14 padded tables fit — beyond that the
-    rotation must split into multiple near-roofline passes (measured:
-    two ~40 ms passes beat one pass whose spilled groups fall back to
-    1/128-lane-utilization in-kernel math, ~300 ms).
-    """
-    plane_bytes = 8 * N  # two f32 planes
-    padded_table = max(N // 2, 1)
-    return max(4, int((_HBM_BYTES - 1.1 * plane_bytes) // padded_table))
-
-
 def fused_diag_planar(
     re: jnp.ndarray,
     im: jnp.ndarray,
@@ -983,68 +1008,77 @@ def fused_diag_planar(
                         memory_space=pltpu.VMEM)
 
     if use_tables:
-        # Row-table path: evaluate every row-side angle ONCE over the
-        # N/128 row indices in XLA (full lane utilization), ship
-        # cos/sin as (A, 8) operands.  Groups beyond the table cap
-        # fall back to scalar cross terms; when the padded tables
-        # exceed the pass's HBM budget (n >= 30), the rotation splits
-        # into several sequential near-roofline passes instead.
+        # Small-table path: each angle source (pure-row angle + one
+        # per lane-subset cross group) splits at SPLIT = the first
+        # state bit that is fixed within a kernel block.  In-block
+        # parts become (BA, 8) numpy CONSTANT cos/sin tables (512
+        # literals, one DMA per pass); per-block parts become scalar
+        # program_id-bit angles in-kernel; straddling terms become
+        # skinny masked rotations keyed by their in-block bit subset.
+        # See _fused_diag_small_kernel for the raced alternatives this
+        # replaced.
         group_terms.sort(key=lambda g: len(g[1]), reverse=True)
         tabled = group_terms[:_DIAG_MAX_GROUPS]
         for low, rterms in group_terms[_DIAG_MAX_GROUPS:]:
             cross_terms.extend(
                 (tuple(sorted(low + rw)), c) for rw, c in rterms)
 
-        gcap = max(1, (_diag_tables_per_pass(N) - 2) // 2)
-        chunks = [tabled[i:i + gcap]
-                  for i in range(0, len(tabled), gcap)] or [[]]
+        split = 10 + (BA.bit_length() - 1)
+        jj = np.arange(BA)[:, None]
+        pp = np.arange(8)[None, :]
 
-        ridx = jnp.arange(N // 128, dtype=jnp.int32)
-
-        def row_angle(rterms, dep):
-            th = jnp.full(N // 128, dep, fdtype)
+        def build_source(low_qs, rterms):
+            in_t, blk_t, strads = [], [], {}
             for qs, coeff in rterms:
-                t = jnp.full(N // 128, coeff, fdtype)
-                for q in qs:
-                    t = t * ((ridx >> (q - 7)) & 1).astype(fdtype)
-                th = th + t
-            return th
+                inb = tuple(q for q in qs if q < split)
+                blk = tuple(q - split for q in qs if q >= split)
+                if not blk:
+                    in_t.append((qs, coeff))
+                elif not inb:
+                    blk_t.append((blk, float(coeff)))
+                else:
+                    strads.setdefault(inb, []).append(
+                        (blk, float(coeff)))
+            tables = ()
+            if in_t:
+                th = np.zeros((BA, 8))
+                for qs, coeff in in_t:
+                    t = np.full((BA, 8), float(coeff))
+                    for q in qs:
+                        t = t * ((pp >> (q - 7)) & 1 if q < 10
+                                 else (jj >> (q - 10)) & 1)
+                    th = th + t
+                tables = (jnp.asarray(np.cos(th), fdtype),
+                          jnp.asarray(np.sin(th), fdtype))
+            meta = (low_qs, bool(in_t), tuple(blk_t),
+                    tuple((k, tuple(v)) for k, v in strads.items()))
+            return meta, tables
 
-        for ci, chunk in enumerate(chunks):
-            rt = row_terms if ci == 0 else []
-            lt = lane_terms if ci == 0 else []
-            ct = cross_terms if ci == 0 else []
-            # Later passes' tables must not be live during earlier
-            # passes (each pass's padded tables use most of the HBM
-            # headroom at n=30): a data dependency on the previous
-            # pass's output stops the latency scheduler hoisting them.
-            dep = re.reshape(-1)[0] * 0 if ci else jnp.asarray(0, fdtype)
-            th0 = row_angle(rt, dep)
-            tables = [jnp.cos(th0).reshape(A, 8),
-                      jnp.sin(th0).reshape(A, 8)]
-            group_masks = []
-            for low, rterms in chunk:
-                # Pure-row subterms of this lane-subset group.
-                ag = row_angle(rterms, dep)
-                tables += [jnp.cos(ag).reshape(A, 8),
-                           jnp.sin(ag).reshape(A, 8)]
-                group_masks.append(low)
-            tspec = pl.BlockSpec((BA, 8), lambda a: (a, 0),
-                                 memory_space=pltpu.VMEM)
-            kern = functools.partial(
-                _fused_diag_tab_kernel, lane_terms=tuple(lt),
-                cross_terms=tuple(ct),
-                group_masks=tuple(group_masks), ba=BA)
-            re, im = pl.pallas_call(
-                kern,
-                grid=(A // BA,),
-                in_specs=[spec, spec] + [tspec] * len(tables),
-                out_specs=[spec, spec],
-                out_shape=[jax.ShapeDtypeStruct((A, 8, 128), fdtype)] * 2,
-                input_output_aliases={0: 0, 1: 1} if inplace else {},
-                interpret=interpret,
-            )(re.reshape(A, 8, 128), im.reshape(A, 8, 128), *tables)
-        return re.reshape(N), im.reshape(N)
+        sources, tabs = [], []
+        meta, t = build_source(None, row_terms)
+        sources.append(meta)
+        tabs.extend(t)
+        for low, rterms in tabled:
+            meta, t = build_source(tuple(low), tuple(rterms))
+            sources.append(meta)
+            tabs.extend(t)
+
+        tspec = pl.BlockSpec((BA, 8), lambda a: (0, 0),
+                             memory_space=pltpu.VMEM)
+        kern = functools.partial(
+            _fused_diag_small_kernel, lane_terms=tuple(lane_terms),
+            cross_terms=tuple(cross_terms), sources=tuple(sources),
+            ba=BA)
+        ore, oim = pl.pallas_call(
+            kern,
+            grid=(A // BA,),
+            in_specs=[spec, spec] + [tspec] * len(tabs),
+            out_specs=[spec, spec],
+            out_shape=[jax.ShapeDtypeStruct((A, 8, 128), fdtype)] * 2,
+            input_output_aliases={0: 0, 1: 1} if inplace else {},
+            interpret=interpret,
+        )(re.reshape(A, 8, 128), im.reshape(A, 8, 128), *tabs)
+        return ore.reshape(N), oim.reshape(N)
 
     kern = functools.partial(
         _fused_diag_kernel, row_terms=tuple(row_terms),
