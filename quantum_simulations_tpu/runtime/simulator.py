@@ -222,6 +222,13 @@ def apply_window_op(re, im, op, dtype, interpret, inplace=False):
             # The direct broadcast keeps 4 planes live (16 GiB at
             # n=30); the exact three-shear form peaks at 3.
             return dense.apply_diag_planar_shear(re, im, op.qubits, op.d)
+        if op.d is None:
+            # Terms-only merge (unbounded qubit mix): the fused kernel
+            # applies the whole run in one pass at the standard tier
+            # too — a capped 13-qubit broadcast run of qft26 takes ~18
+            # sweeps, terms-only takes ~4.
+            return pk.fused_diag_planar(re, im, op.terms,
+                                        interpret=interpret)
         return dense.apply_diag_planar(re, im, op.qubits, op.d)
     if inplace and G.is_diagonal(op.U):
         # Singleton diag gates of any qubit mix: same fused kernel.
@@ -316,8 +323,11 @@ def build_window_circuit_fn(
         interpret = jax.default_backend() != "tpu"
     if inplace is None:
         inplace = n >= 29
+    import os as _os
+    terms_only = inplace or (
+        n >= 10 and _os.environ.get("QST_DIAG_TERMS_ONLY", "1") == "1")
     key = ("window", circuit_hash(cd), jnp.dtype(dtype).name, window,
-           donate, interpret, inplace, planar_io)
+           donate, interpret, inplace, planar_io, terms_only)
     cached = _COMPILE_CACHE.get(key)
     if cached is not None:
         return cached
@@ -328,9 +338,12 @@ def build_window_circuit_fn(
     # for the XLA shear fallback, which tests exercise directly).  At
     # capacity the merge cap lifts entirely (terms-only DiagOps): a
     # run of 13 capped diag passes becomes ONE — qft30's 29 diag
-    # sweeps collapse to 4.
+    # sweeps collapse to 4.  The standard tier (n <= 28) lifts the cap
+    # too since the small-table kernel made merged passes cost the
+    # same as broadcast sweeps (QST_DIAG_TERMS_ONLY=0 reverts to the
+    # capped 13-qubit broadcast merges).
     ops = compile_window_schedule(cd, window=window,
-                                  diag_terms_only=inplace)
+                                  diag_terms_only=terms_only)
 
     def body(re, im):
         for op in ops:
