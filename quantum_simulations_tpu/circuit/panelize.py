@@ -662,8 +662,10 @@ def _merge_swap_runs(ops: list, *, min_bit: int = 7,
     return out
 
 
-def window_stats(circuit_dict: dict, *, window: int = PANEL_W) -> dict:
-    ops = compile_window_schedule(circuit_dict, window=window)
+def window_stats(circuit_dict: dict, *, window: int = PANEL_W,
+                 diag_terms_only: bool = False) -> dict:
+    ops = compile_window_schedule(circuit_dict, window=window,
+                                  diag_terms_only=diag_terms_only)
     return {
         "panels": sum(1 for o in ops if isinstance(o, WindowPanelOp)),
         "generic_gates": sum(1 for o in ops if isinstance(o, PhysGateOp)),
