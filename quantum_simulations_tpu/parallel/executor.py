@@ -66,11 +66,18 @@ def _window_steps_body(steps: list[Step], k: int, axis_name: str,
     from ..ops import pallas_kernels as pk
     from ..runtime.simulator import apply_window_op
 
+    # Same gate as the single-chip tier: the small-table fused-diag
+    # kernel makes unbounded merged diag runs cost one pass each, so
+    # shard-local phase sweeps merge too (QST_DIAG_TERMS_ONLY=0 reverts).
+    import os as _os
+    terms_only = (k >= 10 and
+                  _os.environ.get("QST_DIAG_TERMS_ONLY", "1") == "1")
     win_ops = [
         compile_window_ops(
             [(op.qubits, op.U, getattr(op, "name", "panel"))
              for op in s.local_ops],
             k,
+            diag_terms_only=terms_only,
         )
         for s in steps
     ]

@@ -238,6 +238,16 @@ def test_window_mode_sharded_vs_oracle(mesh8, tag, cd_fn):
     np.testing.assert_allclose(got, oracle.simulate(cd), atol=1e-10)
 
 
+def test_window_mode_merged_diag_k10(mesh8):
+    # k = 13 - 3 = 10 crosses the terms-only diag-merge gate: the
+    # shard-local CR phase sweeps of QFT run as merged DiagOps inside
+    # shard_map (the same small-table path the single-chip tier uses).
+    cd = lib.qft(13)
+    got = E.collect_state(E.simulate_sharded(
+        mesh8, cd, dtype="complex128", mode="window"))
+    np.testing.assert_allclose(got, oracle.simulate(cd), atol=1e-10)
+
+
 def test_window_mode_mesh2(mesh2):
     cd = lib.qft(9)
     got = E.collect_state(E.simulate_sharded(
