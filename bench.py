@@ -6,11 +6,12 @@ largest size the reference runs both in-RAM (412 s, complex128) and
 out-of-core (139 s, complex64) on its benchmark machine
 (``wenbo_engine/docs/v3_comparison.md:45-62``).
 
-Executed in rotating-panel mode: the whole circuit compiles to ~25 HBM
-passes (128-wide MXU panel matmuls + bit-rotation transposes) with
-full-precision accumulation.  Results are forced with an on-device
-norm reduction fetched to host (plain block_until_ready is unreliable
-through the axon tunnel).
+Executed in fixed-window planar-Pallas mode with planar end-to-end
+io: the whole circuit compiles to 16 HBM passes (Gauss 3-mult MXU
+panel kernels + Pallas pair/mixed straddler kernels + terms-only
+fused-diag merging) with full-precision accumulation.  Results are
+forced with an on-device norm reduction fetched to host (plain
+block_until_ready is unreliable through the axon tunnel).
 
 Prints ONE JSON line:
   metric        amplitude-updates per second at n=28

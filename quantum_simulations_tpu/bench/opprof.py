@@ -24,7 +24,7 @@ FETCH_LATENCY_S = 0.044
 
 def _class_key(op) -> str:
     from ..circuit.panelize import (
-        DiagOp, MultiSwapOp, PhysGateOp, WindowPanelOp,
+        BitPermOp, DiagOp, MultiSwapOp, PhysGateOp, WindowPanelOp,
     )
     from ..circuit import gates as G
 
@@ -32,6 +32,8 @@ def _class_key(op) -> str:
         return f"panel@{op.pos}"
     if isinstance(op, MultiSwapOp):
         return f"multiswap{len(op.pairs)}"
+    if isinstance(op, BitPermOp):
+        return f"bitperm_mid{len(op.mid_pairs)}"
     if isinstance(op, DiagOp):
         return f"diag{len(op.qubits)}"
     assert isinstance(op, PhysGateOp)
@@ -64,7 +66,10 @@ def profile_schedule(circuit_dict: dict, *, iters: int = 8,
 
     cd = circuit_dict
     n = cd["number_of_qubits"]
-    ops = compile_window_schedule(cd)
+    import os as _os
+    terms_only = (n >= 10 and
+                  _os.environ.get("QST_DIAG_TERMS_ONLY", "1") == "1")
+    ops = compile_window_schedule(cd, diag_terms_only=terms_only)
     interpret = jax.default_backend() != "tpu"
 
     def apply_op(op, re, im):
@@ -81,17 +86,27 @@ def profile_schedule(circuit_dict: dict, *, iters: int = 8,
 
     nbytes_planar = 2 * (1 << n) * 4  # two f32 planes
 
-    def bench(op) -> float:
+    def bench_at(op, its) -> float:
         def prog():
             re = jnp.full(1 << n, 0.5, jnp.float32)
             im = jnp.full(1 << n, 0.25, jnp.float32)
-            for _ in range(iters):
+            for _ in range(its):
                 re, im = jax.lax.optimization_barrier(apply_op(op, re, im))
             return jnp.sum(re * 1e-9) + jnp.sum(im * 1e-9)
 
         c = jax.jit(prog).lower().compile()
         dt = timeit(lambda: float(jax.device_get(c())), reps)
-        return max((dt - FETCH_LATENCY_S) / iters, 1e-9)
+        return max((dt - FETCH_LATENCY_S) / its, 1e-9)
+
+    def bench(op) -> float:
+        # Sub-ms ops at n<=26 drown in the ~44 ms tunnel RTT at 8
+        # iters (dt - latency clips to 0) — rescale the in-program
+        # loop until the measured portion is >= ~4x the latency.
+        its, per = iters, bench_at(op, iters)
+        while per * its < 4 * FETCH_LATENCY_S and its < 256:
+            its = min(its * 4, 256)
+            per = bench_at(op, its)
+        return per
 
     out = {}
     est_total = 0.0
@@ -129,11 +144,11 @@ def straddler_policies(n: int = 26, *, iters: int = 8, reps: int = 3) -> dict:
     interpret = jax.default_backend() != "tpu"
     nbytes_planar = 2 * (1 << n) * 4
 
-    def planar_case(fn):
+    def planar_case(fn, its):
         def prog():
             re = jnp.full(1 << n, 0.5, jnp.float32)
             im = jnp.full(1 << n, 0.25, jnp.float32)
-            for _ in range(iters):
+            for _ in range(its):
                 re, im = jax.lax.optimization_barrier(fn(re, im))
             return jnp.sum(re * 1e-9) + jnp.sum(im * 1e-9)
         return prog
@@ -187,12 +202,18 @@ def straddler_policies(n: int = 26, *, iters: int = 8, reps: int = 3) -> dict:
 
     cases["two_swaps_one_transpose"] = multi_swap
 
+    def measure(fn, its) -> float:
+        c = jax.jit(planar_case(fn, its)).lower().compile()
+        dt = timeit(lambda: float(jax.device_get(c())), reps)
+        return max((dt - FETCH_LATENCY_S) / its, 1e-9)
+
     out = {}
     for name, fn in cases.items():
         try:
-            c = jax.jit(planar_case(fn)).lower().compile()
-            dt = timeit(lambda: float(jax.device_get(c())), reps)
-            per = max((dt - FETCH_LATENCY_S) / iters, 1e-9)
+            its, per = iters, measure(fn, iters)
+            while per * its < 4 * FETCH_LATENCY_S and its < 256:
+                its = min(its * 4, 256)
+                per = measure(fn, its)
             out[name] = {
                 "s_per_pass": round(per, 5),
                 "GBs": round(2 * nbytes_planar / per / 1e9, 1),

@@ -35,6 +35,17 @@ def test_sweep_small():
     assert len(out["rows"]) == 5
 
 
+def test_shard_timing_small():
+    from quantum_simulations_tpu.bench import sharded
+    out = sharded.shard_timing(12, 4, depth=2, reps=1, interpret=True)
+    assert out["shard_amplitudes"] == 1 << 10
+    assert out["measured_shard_compute_s"] > 0
+    assert out["collectives"] >= 1
+    # every accounted byte figure must be <= collectives * full shard
+    assert out["ici_bytes_per_chip"] <= out["collectives"] * (1 << 10) * 8
+    assert out["pod_estimate_s"] >= out["measured_shard_compute_s"]
+
+
 def test_spill_bw_small():
     from quantum_simulations_tpu.bench import spill_bw
     out = spill_bw.run(n=10, stripe_qubits=7)
