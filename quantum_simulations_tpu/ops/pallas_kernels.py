@@ -275,7 +275,11 @@ def positioned_panel_planar(
     if e < 3:
         # pos 7..9: view (A2, D2 = dim*2^e, 128) is linear-safe
         # (D2 % 8 == 0); the kernel loops the 2^e low row-bits and
-        # contracts only the dim-wide panel axis.
+        # contracts only the dim-wide panel axis.  (A "wide" variant
+        # viewing (A2, dim, 2^e*128) and contracting in one einsum was
+        # raced on v5e and LOST 2.7x — 278 vs 733 GB/s at pos 8: the
+        # >128-lane trailing axis forces a relayout per vreg.  Keep
+        # the loop kernel.)
         D2 = dim << e
         A2 = N // (D2 * lanes)
         # 1<<17-elem blocks raced best on v5e (pos7 502 vs 463 GB/s);
