@@ -53,9 +53,10 @@ def run(reps: int = 4, retries: int = 3, only: tuple = (),
                     # Planar end-to-end: the complex64<->planar retile
                     # costs ~25 ms per call at n=28 (bench/overhead.py)
                     # that the planar chain never pays.
-                    compiled = simulator.build_window_circuit_fn(
+                    jfn = simulator.build_window_circuit_fn(
                         cd, dtype="complex64", donate=True, planar_io=True,
-                    ).lower(P, P).compile()
+                    )
+                    compiled = jfn.lower(P, P).compile()
                     break
                 except Exception as e:  # transient remote-compile 500s
                     last = e
@@ -86,6 +87,12 @@ def run(reps: int = 4, retries: int = 3, only: tuple = (),
                 "amp_updates_per_s": round(len(cd["gates"]) * (1 << n) / dt, 1),
                 "norm2": round(norm, 6),
             })
+
+            # NOTE a reps-inside-one-program variant was raced here
+            # and measured 2x SLOWER per rep (qft26 0.072 vs 0.035):
+            # inlining the jitted circuit drops its donation, so the
+            # chain loses the a/b buffer ping-pong.  The Python-level
+            # chain above IS the steady-state methodology.
         except Exception as e:
             row["error"] = f"{type(e).__name__}: {str(e)[:120]}"
         rows.append(row)

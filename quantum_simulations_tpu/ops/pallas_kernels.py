@@ -17,6 +17,7 @@ All kernels run under ``interpret=True`` on CPU for the test suite.
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 import jax
@@ -70,8 +71,18 @@ def _block_rows(R: int, target: int = 1024) -> int:
     return max(br, 1)
 
 
-def _panel_kernel(re_ref, im_ref, wr_ref, wi_ref, ore_ref, oim_ref, *,
-                  rotate: bool):
+def _rotate_by_theta(o_re, o_im, th):
+    c = jnp.cos(th)
+    s = jnp.sin(th)
+    return o_re * c - o_im * s, o_re * s + o_im * c
+
+
+def _panel_kernel(*refs, rotate: bool, dspec=None):
+    if dspec is None:
+        re_ref, im_ref, wr_ref, wi_ref, ore_ref, oim_ref = refs
+    else:
+        (re_ref, im_ref, wr_ref, wi_ref, a_ref, m_ref,
+         ore_ref, oim_ref) = refs
     re = re_ref[:]
     im = im_ref[:]
     wr = wr_ref[:]
@@ -81,12 +92,32 @@ def _panel_kernel(re_ref, im_ref, wr_ref, wi_ref, ore_ref, oim_ref, *,
         return jax.lax.dot_general(x, w, _DN, precision=HI)
 
     o_re, o_im = _cmul_planes(mm, re, im, wr, wi)
+    if dspec is not None:
+        # Fused diag epilogue: the merged run following this panel
+        # rotates the output block in-VMEM — the diag's own HBM pass
+        # disappears, and its cos/sin rides the panel's idle VPU.
+        th = _theta_matmul(a_ref, m_ref, dspec, o_re.dtype).reshape(
+            o_re.shape)
+        o_re, o_im = _rotate_by_theta(o_re, o_im, th)
     if rotate:
         ore_ref[:] = o_re.T
         oim_ref[:] = o_im.T
     else:
         ore_ref[:] = o_re
         oim_ref[:] = o_im
+
+
+def _panel_diag_plan(diag_terms, row_bit_of, grid_bit_of, n_rows, fdtype):
+    """Plan the fused diag epilogue for a panel geometry (or None)."""
+    if diag_terms is None:
+        return None
+    from .diag_plan import plan_diag_matmul
+
+    plan = plan_diag_matmul(diag_terms, row_bit_of, grid_bit_of, n_rows)
+    if plan is None:
+        return None
+    A, M, s_spec = plan
+    return jnp.asarray(A, fdtype), jnp.asarray(M, fdtype), s_spec
 
 
 def panel_apply_planar(
@@ -98,6 +129,7 @@ def panel_apply_planar(
     block_rows: int = 1024,
     interpret: bool = False,
     inplace: bool = False,
+    diag_terms=None,
 ):
     """Apply a 2^w-wide fused panel to planar f32 state (flat arrays).
 
@@ -121,7 +153,25 @@ def panel_apply_planar(
     BR = _block_rows(R, min(block_rows, max(8, (1 << 17) // dim)))
     fdtype = re.dtype
 
-    kern = functools.partial(_panel_kernel, rotate=rotate)
+    dplan = None
+    if diag_terms is not None and dim == 128 and not rotate:
+        split = 7 + (BR.bit_length() - 1)
+        dplan = _panel_diag_plan(
+            diag_terms,
+            {q: q - 7 for q in range(7, split)},
+            {q: (0, q - split) for q in range(split, 64)},
+            BR, fdtype)
+    if diag_terms is not None and dplan is None:
+        # Unfusable (wide/rotating panel or column overflow): panel
+        # pass then the standalone one-pass diag kernel.
+        re, im = panel_apply_planar(
+            re, im, W, rotate=rotate, block_rows=block_rows,
+            interpret=interpret, inplace=inplace)
+        return fused_diag_planar(re, im, diag_terms,
+                                 interpret=interpret, inplace=inplace)
+
+    kern = functools.partial(_panel_kernel, rotate=rotate,
+                             dspec=None if dplan is None else dplan[2])
     if rotate:
         out_specs = [
             pl.BlockSpec((dim, BR), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -136,25 +186,38 @@ def panel_apply_planar(
         out_shape = [jax.ShapeDtypeStruct((R, dim), fdtype)] * 2
 
     assert not (inplace and rotate), "in-place panel cannot rotate"
+    in_specs = [
+        pl.BlockSpec((BR, dim), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((BR, dim), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((dim, dim), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((dim, dim), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    operands = [re.reshape(R, dim), im.reshape(R, dim), wr, wi]
+    if dplan is not None:
+        Amat, Mmat = dplan[0], dplan[1]
+        in_specs.append(pl.BlockSpec(Amat.shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec(Mmat.shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.extend([Amat, Mmat])
     ore, oim = pl.pallas_call(
         kern,
         grid=(R // BR,),
-        in_specs=[
-            pl.BlockSpec((BR, dim), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BR, dim), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((dim, dim), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((dim, dim), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         input_output_aliases={0: 0, 1: 1} if inplace else {},
         interpret=interpret,
-    )(re.reshape(R, dim), im.reshape(R, dim), wr, wi)
+    )(*operands)
     return ore.reshape(N), oim.reshape(N)
 
 
-def _positioned_row_kernel(re_ref, im_ref, wr_ref, wi_ref, ore_ref, oim_ref,
-                           *, e=0):
+def _positioned_row_kernel(*refs, e=0, dspec=None):
+    if dspec is None:
+        re_ref, im_ref, wr_ref, wi_ref, ore_ref, oim_ref = refs
+    else:
+        (re_ref, im_ref, wr_ref, wi_ref, a_ref, m_ref,
+         ore_ref, oim_ref) = refs
     # Blocks (BA, D2, 128) with D2 = dim*2^e (pos 7..9).  The expanded
     # D2 x D2 operator is perm(W (x) I_2^e) — contracting it densely
     # costs 2^e times the flops and measured 250 GB/s at e=1 vs 497 at
@@ -171,7 +234,12 @@ def _positioned_row_kernel(re_ref, im_ref, wr_ref, wi_ref, ore_ref, oim_ref,
     if e == 0:
         re = re_ref[:]
         im = im_ref[:]
-        ore_ref[:], oim_ref[:] = _cmul_planes(mm, re, im, wr, wi)
+        o_re, o_im = _cmul_planes(mm, re, im, wr, wi)
+        if dspec is not None:
+            th = _theta_matmul(a_ref, m_ref, dspec, o_re.dtype).reshape(
+                o_re.shape)
+            o_re, o_im = _rotate_by_theta(o_re, o_im, th)
+        ore_ref[:], oim_ref[:] = o_re, o_im
         return
 
     ba = re_ref.shape[0]
@@ -186,24 +254,39 @@ def _positioned_row_kernel(re_ref, im_ref, wr_ref, wi_ref, ore_ref, oim_ref,
         out_r.append(o_re)
         out_i.append(o_im)
     shape = re_ref.shape
-    ore_ref[:] = jnp.stack(out_r, axis=2).reshape(shape)
-    oim_ref[:] = jnp.stack(out_i, axis=2).reshape(shape)
+    o_re = jnp.stack(out_r, axis=2).reshape(shape)
+    o_im = jnp.stack(out_i, axis=2).reshape(shape)
+    if dspec is not None:
+        th = _theta_matmul(a_ref, m_ref, dspec, o_re.dtype).reshape(shape)
+        o_re, o_im = _rotate_by_theta(o_re, o_im, th)
+    ore_ref[:] = o_re
+    oim_ref[:] = o_im
 
 
-def _positioned_4d_kernel(re_ref, im_ref, wr_ref, wi_ref, ore_ref, oim_ref,
-                          *, BB):
+def _positioned_4d_kernel(*refs, BB, dspec=None):
     # Blocks (BA, 128, BB, 128): contract axis 1 (the panel subspace)
     # with W (pos >= 10).  Unrolled loop over the b axis keeps every
     # contraction in the known-good (BA, dim, lanes) 3-D form.
+    if dspec is None:
+        re_ref, im_ref, wr_ref, wi_ref, ore_ref, oim_ref = refs
+    else:
+        (re_ref, im_ref, wr_ref, wi_ref, a_ref, m_ref,
+         ore_ref, oim_ref) = refs
     wr = wr_ref[:]
     wi = wi_ref[:]
 
     def mm(x, w):
         return jnp.einsum("ij,ajk->aik", w, x, precision=HI)
 
+    th4 = None
+    if dspec is not None:
+        th4 = _theta_matmul(a_ref, m_ref, dspec, wr.dtype).reshape(
+            re_ref.shape)
     for b in range(BB):
         o_re, o_im = _cmul_planes(
             mm, re_ref[:, :, b, :], im_ref[:, :, b, :], wr, wi)
+        if th4 is not None:
+            o_re, o_im = _rotate_by_theta(o_re, o_im, th4[:, :, b, :])
         ore_ref[:, :, b, :] = o_re
         oim_ref[:, :, b, :] = o_im
 
@@ -221,6 +304,7 @@ def positioned_panel_planar(
     interpret: bool = False,
     inplace: bool = False,
     block_elems: int | None = None,
+    diag_terms=None,
 ):
     """Apply a 2^w-wide fused panel to bit window [pos, pos+w) — no rotation.
 
@@ -248,6 +332,15 @@ def positioned_panel_planar(
     # (..., X, 128) with X % 8 == 0 are exactly the linear-safe views.
     lanes = 128
     e = pos - 7  # panel bits sit at row-bits [e, e+w) of the (R,128) view
+
+    if diag_terms is not None and (not isinstance(W, tuple)
+                                   and dim != lanes):
+        # Ragged panels can't host the epilogue: two passes.
+        re, im = positioned_panel_planar(
+            re, im, W, pos, col_block=col_block, batch_block=batch_block,
+            interpret=interpret, inplace=inplace, block_elems=block_elems)
+        return fused_diag_planar(re, im, diag_terms,
+                                 interpret=interpret, inplace=inplace)
 
     if not isinstance(W, tuple) and dim != lanes:
         # Non-128 panels (ragged width) keep the legacy 3-D path; they
@@ -288,19 +381,45 @@ def positioned_panel_planar(
         BA = max(1, be // (D2 * lanes))
         while A2 % BA:
             BA //= 2
+        dplan = None
+        if diag_terms is not None:
+            split = 14 + e + (BA.bit_length() - 1)
+            dplan = _panel_diag_plan(
+                diag_terms,
+                {q: q - 7 for q in range(7, split)},
+                {q: (0, q - split) for q in range(split, 64)},
+                BA * D2, fdtype)
+            if dplan is None:
+                re, im = positioned_panel_planar(
+                    re, im, W, pos, interpret=interpret, inplace=inplace,
+                    block_elems=block_elems)
+                return fused_diag_planar(re, im, diag_terms,
+                                         interpret=interpret,
+                                         inplace=inplace)
         spec = pl.BlockSpec((BA, D2, lanes), lambda a: (a, 0, 0),
                             memory_space=pltpu.VMEM)
         wspec = pl.BlockSpec((dim, dim), lambda a: (0, 0),
                              memory_space=pltpu.VMEM)
+        in_specs = [spec, spec, wspec, wspec]
+        operands = [re.reshape(A2, D2, lanes), im.reshape(A2, D2, lanes),
+                    wr, wi]
+        if dplan is not None:
+            in_specs += [
+                pl.BlockSpec(dplan[0].shape, lambda a: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(dplan[1].shape, lambda a: (0, 0),
+                             memory_space=pltpu.VMEM)]
+            operands += [dplan[0], dplan[1]]
         ore, oim = pl.pallas_call(
-            functools.partial(_positioned_row_kernel, e=e),
+            functools.partial(_positioned_row_kernel, e=e,
+                              dspec=None if dplan is None else dplan[2]),
             grid=(A2 // BA,),
-            in_specs=[spec, spec, wspec, wspec],
+            in_specs=in_specs,
             out_specs=[spec, spec],
             out_shape=[jax.ShapeDtypeStruct((A2, D2, lanes), fdtype)] * 2,
             input_output_aliases=alias,
             interpret=interpret,
-        )(re.reshape(A2, D2, lanes), im.reshape(A2, D2, lanes), wr, wi)
+        )(*operands)
         return ore.reshape(N), oim.reshape(N)
 
     # pos >= 10: 4-D view (A2, 128, B2, 128) — linear-safe (B2 >= 8).
@@ -315,20 +434,55 @@ def positioned_panel_planar(
     BA = max(1, be // (dim * BB * lanes))
     while A2 % BA:
         BA //= 2
+    dplan = None
+    if diag_terms is not None:
+        lbb = BB.bit_length() - 1
+        lba = BA.bit_length() - 1
+        row_bit_of = {}
+        for q in range(7, 7 + lbb):  # in-block b bits
+            row_bit_of[q] = q - 7
+        for q in range(pos, pos + 7):  # panel bits
+            row_bit_of[q] = lbb + (q - pos)
+        for q in range(pos + 7, pos + 7 + lba):  # in-block a bits
+            row_bit_of[q] = lbb + 7 + (q - pos - 7)
+        grid_bit_of = {}
+        for q in range(7 + lbb, pos):  # grid axis 1 (b blocks)
+            grid_bit_of[q] = (1, q - (7 + lbb))
+        for q in range(pos + 7 + lba, 64):  # grid axis 0 (a blocks)
+            grid_bit_of[q] = (0, q - (pos + 7 + lba))
+        dplan = _panel_diag_plan(diag_terms, row_bit_of, grid_bit_of,
+                                 BA * dim * BB, fdtype)
+        if dplan is None:
+            re, im = positioned_panel_planar(
+                re, im, W, pos, batch_block=batch_block,
+                interpret=interpret, inplace=inplace,
+                block_elems=block_elems)
+            return fused_diag_planar(re, im, diag_terms,
+                                     interpret=interpret, inplace=inplace)
     spec = pl.BlockSpec((BA, dim, BB, lanes), lambda a, b: (a, 0, b, 0),
                         memory_space=pltpu.VMEM)
     wspec = pl.BlockSpec((dim, dim), lambda a, b: (0, 0),
                          memory_space=pltpu.VMEM)
+    in_specs = [spec, spec, wspec, wspec]
+    operands = [re.reshape(A2, dim, B2, lanes),
+                im.reshape(A2, dim, B2, lanes), wr, wi]
+    if dplan is not None:
+        in_specs += [
+            pl.BlockSpec(dplan[0].shape, lambda a, b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(dplan[1].shape, lambda a, b: (0, 0),
+                         memory_space=pltpu.VMEM)]
+        operands += [dplan[0], dplan[1]]
     ore, oim = pl.pallas_call(
-        functools.partial(_positioned_4d_kernel, BB=BB),
+        functools.partial(_positioned_4d_kernel, BB=BB,
+                          dspec=None if dplan is None else dplan[2]),
         grid=(A2 // BA, B2 // BB),
-        in_specs=[spec, spec, wspec, wspec],
+        in_specs=in_specs,
         out_specs=[spec, spec],
         out_shape=[jax.ShapeDtypeStruct((A2, dim, B2, lanes), fdtype)] * 2,
         input_output_aliases=alias,
         interpret=interpret,
-    )(re.reshape(A2, dim, B2, lanes), im.reshape(A2, dim, B2, lanes),
-      wr, wi)
+    )(*operands)
     return ore.reshape(N), oim.reshape(N)
 
 
@@ -772,6 +926,46 @@ def midpair_planar(
     return ore.reshape(N), oim.reshape(N)
 
 
+def _theta_matmul(a_ref, m_ref, s_spec, fdtype):
+    """theta block from the matmul-form diag plan (ops/diag_plan.py).
+
+    A (rows, C) operand scaled by the per-grid-step S vector, then one
+    MXU matmul against the (C, 128) lane-factor operand: the whole
+    merged-run angle field for this block in ~C/128 of a panel
+    matmul's flops.  Returns (rows, 128); caller reshapes to the block.
+    """
+    A = a_ref[:]
+    if any(sp is not None for sp in s_spec):
+        scal = []
+        for spec in s_spec:
+            if spec is None:
+                scal.append(jnp.full((), 1.0, fdtype))
+                continue
+            s = jnp.zeros((), fdtype)
+            for coeff, pbits in spec:
+                t = jnp.full((), coeff, fdtype)
+                for axis, shift in pbits:
+                    t = t * ((pl.program_id(axis) >> shift) & 1).astype(
+                        fdtype)
+                s = s + t
+            scal.append(s)
+        A = A * jnp.stack(scal).reshape(1, len(s_spec))
+    return jax.lax.dot_general(
+        A, m_ref[:], (((1,), (0,)), ((), ())), precision=HI)
+
+
+def _fused_diag_matmul_kernel(re_ref, im_ref, a_ref, m_ref, ore_ref,
+                              oim_ref, *, s_spec):
+    th = _theta_matmul(a_ref, m_ref, s_spec, re_ref.dtype).reshape(
+        re_ref.shape)
+    c = jnp.cos(th)
+    s = jnp.sin(th)
+    r = re_ref[:]
+    i = im_ref[:]
+    ore_ref[:] = r * c - i * s
+    oim_ref[:] = r * s + i * c
+
+
 def _fused_diag_kernel(re_ref, im_ref, ore_ref, oim_ref, *,
                        row_terms, lane_terms, cross_terms, group_terms, ba):
     # theta(idx) = sum coeff * prod(bits): row terms (all qubits >= 7)
@@ -972,6 +1166,19 @@ def fused_diag_planar(
     N = re.size
     fdtype = re.dtype
     A = N // (8 * 128)
+    if A == 0:
+        # Tiny states (n < 10, tests / fallback callers): the phase
+        # vector is a static constant — no kernel needed.
+        idx = np.arange(N)
+        th = np.zeros(N)
+        for qs, coeff in terms:
+            t = np.full(N, float(coeff))
+            for q in qs:
+                t = t * ((idx >> q) & 1)
+            th += t
+        c = jnp.asarray(np.cos(th), fdtype)
+        s = jnp.asarray(np.sin(th), fdtype)
+        return re * c - im * s, re * s + im * c
     row_terms, lane_terms, cross_all = [], [], []
     for qs, coeff in terms:
         qs = tuple(qs)
@@ -1010,6 +1217,43 @@ def fused_diag_planar(
         BA //= 2
     spec = pl.BlockSpec((BA, 8, 128), lambda a: (a, 0, 0),
                         memory_space=pltpu.VMEM)
+
+    if os.environ.get("QST_DIAG_MATMUL", "1") != "0":
+        # Matmul-form kernel: the whole angle field of the block is
+        # ONE (rows, C) x (C, 128) MXU matmul + one cos/sin per
+        # element, flop count independent of the term count (the
+        # composition form below pays ~6 VPU flops per element per
+        # lane-subset group — measured 317-345 GB/s on qft26's merged
+        # runs).  Falls through when the run needs > MAX_COLS columns.
+        from .diag_plan import plan_diag_matmul
+
+        split = 10 + (BA.bit_length() - 1)
+        plan = plan_diag_matmul(
+            terms,
+            row_bit_of={q: q - 7 for q in range(7, split)},
+            grid_bit_of={q: (0, q - split) for q in range(split, 64)},
+            n_rows=BA * 8,
+        )
+        if plan is not None:
+            Amat, Mmat, s_spec = plan
+            aspec = pl.BlockSpec((BA * 8, Amat.shape[1]),
+                                 lambda a: (0, 0),
+                                 memory_space=pltpu.VMEM)
+            mspec = pl.BlockSpec(Mmat.shape, lambda a: (0, 0),
+                                 memory_space=pltpu.VMEM)
+            kern = functools.partial(
+                _fused_diag_matmul_kernel, s_spec=s_spec)
+            ore, oim = pl.pallas_call(
+                kern,
+                grid=(A // BA,),
+                in_specs=[spec, spec, aspec, mspec],
+                out_specs=[spec, spec],
+                out_shape=[jax.ShapeDtypeStruct((A, 8, 128), fdtype)] * 2,
+                input_output_aliases={0: 0, 1: 1} if inplace else {},
+                interpret=interpret,
+            )(re.reshape(A, 8, 128), im.reshape(A, 8, 128),
+              jnp.asarray(Amat, fdtype), jnp.asarray(Mmat, fdtype))
+            return ore.reshape(N), oim.reshape(N)
 
     if use_tables:
         # Small-table path: each angle source (pure-row angle + one

@@ -64,7 +64,7 @@ def _window_steps_body(steps: list[Step], k: int, axis_name: str,
     """
     from ..circuit.panelize import compile_window_ops
     from ..ops import pallas_kernels as pk
-    from ..runtime.simulator import apply_window_op
+    from ..runtime.simulator import apply_window_op, pair_panel_diag
 
     # Same gate as the single-chip tier: the small-table fused-diag
     # kernel makes unbounded merged diag runs cost one pass each, so
@@ -73,12 +73,12 @@ def _window_steps_body(steps: list[Step], k: int, axis_name: str,
     terms_only = (k >= 10 and
                   _os.environ.get("QST_DIAG_TERMS_ONLY", "1") == "1")
     win_ops = [
-        compile_window_ops(
+        pair_panel_diag(compile_window_ops(
             [(op.qubits, op.U, getattr(op, "name", "panel"))
              for op in s.local_ops],
             k,
             diag_terms_only=terms_only,
-        )
+        ))
         for s in steps
     ]
 
@@ -87,8 +87,9 @@ def _window_steps_body(steps: list[Step], k: int, axis_name: str,
         dtype = shard.dtype
         re, im = pk.to_planar(shard)
         for step, wops in zip(steps, win_ops):
-            for op in wops:
-                re, im = apply_window_op(re, im, op, dtype, interpret)
+            for op, dterms in wops:
+                re, im = apply_window_op(re, im, op, dtype, interpret,
+                                         diag_terms=dterms)
             if step.nonlocal_ops:
                 c = _apply_nonlocal_phase(
                     pk.from_planar(re, im, dtype), step, k, axis_name)

@@ -141,7 +141,8 @@ def apply_multiswap_planar(re, im, pairs, inplace=False):
     return re_t, im_t
 
 
-def apply_window_op(re, im, op, dtype, interpret, inplace=False):
+def apply_window_op(re, im, op, dtype, interpret, inplace=False,
+                    diag_terms=None):
     """Dispatch ONE window-schedule op on planar f32 planes.
 
     The single dispatch table for window execution — used by the
@@ -177,11 +178,17 @@ def apply_window_op(re, im, op, dtype, interpret, inplace=False):
                                        interpret=interpret,
                                        inplace=inplace)
     if isinstance(op, WindowPanelOp):
+        # ``diag_terms`` (from the executor's peephole over
+        # panel+merged-diag pairs) fuses the following DiagOp into this
+        # panel pass as an in-VMEM epilogue — the diag's HBM pass
+        # disappears and its cos/sin rides the panel's idle VPU.
         if op.pos == 0:
             return pk.panel_apply_planar(
-                re, im, op.W, interpret=interpret, inplace=inplace)
+                re, im, op.W, interpret=interpret, inplace=inplace,
+                diag_terms=diag_terms)
         return pk.positioned_panel_planar(
-            re, im, op.W, op.pos, interpret=interpret, inplace=inplace)
+            re, im, op.W, op.pos, interpret=interpret, inplace=inplace,
+            diag_terms=diag_terms)
     if isinstance(op, MultiSwapOp):
         if inplace:
             # Capacity tier: the XLA multi-axis transpose materializes
@@ -280,6 +287,36 @@ def apply_window_op(re, im, op, dtype, interpret, inplace=False):
     return pk.to_planar(c)
 
 
+def pair_panel_diag(ops, enabled: bool | None = None):
+    """Peephole over a window schedule: [(op, fused_diag_terms), ...].
+
+    A WindowPanelOp immediately followed by a terms-only DiagOp
+    becomes ONE kernel pass (the diag applies as an in-VMEM matmul
+    epilogue, ``ops/diag_plan.py``) — qft26's 3 merged diag passes
+    ride their preceding panels for free.  ``QST_PANEL_DIAG_FUSE=0``
+    reverts for A/B racing.
+    """
+    import os as _os
+
+    from ..circuit.panelize import DiagOp, WindowPanelOp
+
+    if enabled is None:
+        enabled = _os.environ.get("QST_PANEL_DIAG_FUSE", "1") != "0"
+    out = []
+    i = 0
+    while i < len(ops):
+        op = ops[i]
+        nxt = ops[i + 1] if i + 1 < len(ops) else None
+        if (enabled and isinstance(op, WindowPanelOp)
+                and isinstance(nxt, DiagOp) and nxt.terms is not None):
+            out.append((op, nxt.terms))
+            i += 2
+        else:
+            out.append((op, None))
+            i += 1
+    return out
+
+
 def build_window_circuit_fn(
     circuit_dict: dict,
     *,
@@ -326,8 +363,9 @@ def build_window_circuit_fn(
     import os as _os
     terms_only = inplace or (
         n >= 10 and _os.environ.get("QST_DIAG_TERMS_ONLY", "1") == "1")
+    fuse = _os.environ.get("QST_PANEL_DIAG_FUSE", "1") != "0"
     key = ("window", circuit_hash(cd), jnp.dtype(dtype).name, window,
-           donate, interpret, inplace, planar_io, terms_only)
+           donate, interpret, inplace, planar_io, terms_only, fuse)
     cached = _COMPILE_CACHE.get(key)
     if cached is not None:
         return cached
@@ -345,13 +383,16 @@ def build_window_circuit_fn(
     ops = compile_window_schedule(cd, window=window,
                                   diag_terms_only=terms_only)
 
+    paired = pair_panel_diag(ops, enabled=fuse)
+
     def body(re, im):
-        for op in ops:
+        for op, dterms in paired:
             # Panels ship as baked literals: composing them in-graph
             # from per-gate constants is NOT folded by XLA and ran
             # 4.4x slower at n=28.  Literal size stays small because
             # the scheduler emits minimal-width positioned panels.
-            re, im = apply_window_op(re, im, op, dtype, interpret, inplace)
+            re, im = apply_window_op(re, im, op, dtype, interpret, inplace,
+                                     diag_terms=dterms)
             if inplace:
                 # Capacity mode: pin the schedule to one op at a time.
                 # Without the barrier XLA's latency-hiding scheduler
