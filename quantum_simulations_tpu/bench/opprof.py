@@ -24,7 +24,8 @@ FETCH_LATENCY_S = 0.044
 
 def _class_key(op) -> str:
     from ..circuit.panelize import (
-        BitPermOp, DiagOp, MultiSwapOp, PhysGateOp, WindowPanelOp,
+        BitPermGridOp, BitPermOp, DiagOp, MultiSwapOp, PhysGateOp,
+        TransposeCrossOp, WindowPanelOp,
     )
     from ..circuit import gates as G
 
@@ -32,6 +33,10 @@ def _class_key(op) -> str:
         return f"panel@{op.pos}"
     if isinstance(op, MultiSwapOp):
         return f"multiswap{len(op.pairs)}"
+    if isinstance(op, BitPermGridOp):
+        return f"bitperm_grid{len(op.pairs)}"
+    if isinstance(op, TransposeCrossOp):
+        return "transpose_cross"
     if isinstance(op, BitPermOp):
         return f"bitperm_mid{len(op.mid_pairs)}"
     if isinstance(op, DiagOp):

@@ -471,9 +471,86 @@ def compile_window_ops(
             from ..ops.dense import _SWAP4
             out.extend(PhysGateOp(p, _SWAP4, "SWAP") for p in pairs)
 
-    return _merge_swap_runs(
+    return _decompose_terminal_bitperm(_merge_swap_runs(
         _merge_diag_runs(out, layout_safe=layout_safe_diag,
-                         terms_only=diag_terms_only))
+                         terms_only=diag_terms_only)), n)
+
+
+def _decompose_terminal_bitperm(ops: list, n: int) -> list:
+    """Factor a terminal BitPermOp as  mid+A_top (free)  then  pure T.
+
+    Any crossing sigma (lane l <-> top cross[l]) equals A ∘ T with
+    T the in-order field transpose and A within-field bit
+    permutations: A's top part is FREE (index maps of the combined
+    BitPermGridOp pass), and A's lane part folds into the last pos-0
+    panel's W as a row permutation (diagonal ops in between are
+    relabeled q -> pi[q]; ops on bits >= 7 commute).  The crossing
+    pass then runs on Mosaic's native transpose (768 GB/s measured)
+    instead of two permutation matmuls (333 GB/s) —
+    ``QST_BITPERM_DECOMP=0`` reverts to the matmul crossing kernel.
+    """
+    import os as _os
+
+    # n >= 17 keeps the whole top field at bits >= 10 (index-mappable);
+    # smaller n stays on the matmul crossing kernel.
+    if (not ops or not isinstance(ops[-1], BitPermOp) or n < 17
+            or _os.environ.get("QST_BITPERM_DECOMP", "1") == "0"):
+        return ops
+    op = ops[-1]
+    pi = [op.cross[el] - (n - 7) for el in range(7)]
+    pi_inv = [0] * 7
+    for el in range(7):
+        pi_inv[pi[el]] = el
+    grid_map = tuple((n - 7 + m, n - 7 + pi_inv[m])
+                     for m in range(7) if pi_inv[m] != m)
+
+    new_ops = list(ops[:-1])
+    if pi != list(range(7)):
+        # Fold the lane-bit permutation into the last pos-0 panel.
+        idx = None
+        for i in range(len(new_ops) - 1, -1, -1):
+            o = new_ops[i]
+            if (isinstance(o, WindowPanelOp) and o.pos == 0
+                    and not isinstance(o.W, tuple)):
+                idx = i
+                break
+            if isinstance(o, WindowPanelOp) and o.pos >= 7:
+                continue
+            if isinstance(o, MultiSwapOp):
+                continue
+            if isinstance(o, DiagOp):
+                continue  # relabeled below
+            if isinstance(o, PhysGateOp) and min(o.qubits) >= 7:
+                continue
+            idx = None
+            break
+        if idx is None:
+            return ops  # no absorber: keep the matmul crossing path
+        lane_map = np.zeros(128, dtype=np.int64)
+        for lam in range(128):
+            v = 0
+            for el in range(7):
+                v |= ((lam >> pi[el]) & 1) << el
+            lane_map[lam] = v
+        p0 = new_ops[idx]
+        new_ops[idx] = WindowPanelOp(
+            0, np.ascontiguousarray(np.asarray(p0.W)[lane_map, :]),
+            p0.n_fused, run=p0.run)
+        for i in range(idx + 1, len(new_ops)):
+            o = new_ops[i]
+            if isinstance(o, DiagOp) and any(q < 7 for q in o.qubits):
+                def rl(q):
+                    return pi[q] if q < 7 else q
+                new_ops[i] = DiagOp(
+                    tuple(rl(q) for q in o.qubits), o.d, name=o.name,
+                    terms=None if o.terms is None else tuple(
+                        (tuple(sorted(rl(q) for q in qs)), c)
+                        for qs, c in o.terms))
+
+    if op.mid_pairs or grid_map:
+        new_ops.append(BitPermGridOp(op.mid_pairs, grid_map))
+    new_ops.append(TransposeCrossOp())
+    return new_ops
 
 
 # 13 high-qubit axes keep the phase literal at 2^13 c128 = 128 KB and
@@ -613,6 +690,29 @@ class MultiSwapOp:
     lanes.
     """
     pairs: tuple[tuple[int, int], ...]
+
+
+@dataclass(frozen=True)
+class BitPermGridOp:
+    """One out-of-place pass applying a bit permutation on bits >= 7.
+
+    Transposition ``pairs`` touching sublane bits [7, 10) exchange
+    in-VMEM; everything >= 10 (including the arbitrary ``grid_map``
+    bijection) rides the block index maps for free
+    (``ops/pallas_kernels.bitperm_swap_planar``).
+    """
+    pairs: tuple[tuple[int, int], ...]
+    grid_map: tuple  # ((out_bit, in_bit), ...)
+
+
+@dataclass(frozen=True)
+class TransposeCrossOp:
+    """Pure in-order lane<->top exchange (lane l <-> bit n-7+l).
+
+    Mosaic's native tile transpose: 768 GB/s measured vs 333 for the
+    permutation-matmul crossing kernel; aliasing-safe (identity block
+    maps), so the capacity tier runs it in place.
+    """
 
 
 MULTISWAP_MAX_PAIRS = 4

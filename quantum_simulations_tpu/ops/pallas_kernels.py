@@ -1613,6 +1613,248 @@ def bitperm_cross_planar(
     return ore.reshape(re.size), oim.reshape(im.size)
 
 
+def _axis_exchange(v, shape, kshape, ax_pairs):
+    # kshape: the block value shape with the sublane 8-axis split into
+    # (2, 2, 2) (bits 9, 8, 7 MSB-first); ax_pairs: axis-index pairs of
+    # kshape to coordinate-exchange (each pair one unrolled 2x2
+    # stack — a pure in-VMEM shuffle, no arithmetic).
+    v = v.reshape(kshape)
+    for a1, a2 in ax_pairs:
+        lo, hi = (a1, a2) if a1 < a2 else (a2, a1)
+        rows = []
+        for x in (0, 1):
+            cols = []
+            for y in (0, 1):
+                sl = [slice(None)] * len(kshape)
+                sl[lo] = y
+                sl[hi] = x
+                cols.append(v[tuple(sl)])
+            rows.append(jnp.stack(cols, axis=hi - 1))
+        v = jnp.stack(rows, axis=lo)
+    return v.reshape(shape)
+
+
+def _bitperm_swap_kernel(re_ref, im_ref, ore_ref, oim_ref, *,
+                         kshape, ax_pairs):
+    if ax_pairs:
+        ore_ref[:] = _axis_exchange(re_ref[:], re_ref.shape, kshape,
+                                    ax_pairs)
+        oim_ref[:] = _axis_exchange(im_ref[:], im_ref.shape, kshape,
+                                    ax_pairs)
+    else:
+        ore_ref[:] = re_ref[:]
+        oim_ref[:] = im_ref[:]
+
+
+def bitperm_swap_planar(
+    re: jnp.ndarray,
+    im: jnp.ndarray,
+    pairs,
+    *,
+    grid_map=None,
+    split_planes: bool = False,
+    interpret: bool = False,
+    block_elems: int = 1 << 18,
+):
+    """Bit permutation among bits >= 7 in ONE out-of-place pass.
+
+    ``pairs``: disjoint transpositions; those with both bits >= 10
+    ride the INPUT BLOCK INDEX MAP — a pure re-addressing of which HBM
+    block each grid step reads, zero in-kernel work (the
+    TPU-single-chip analogue of the reference's MPI subarray-datatype
+    redistribution, ``hisvsim_repo/mpi_redistributer.hpp:20-33``);
+    pairs touching the sublane bits [7, 10) exchange in-VMEM via
+    unrolled 2x2 axis stacks.  ``grid_map``: an additional ARBITRARY
+    bijection on bits >= 10 given as {out_bit: in_bit} — also free via
+    the index maps (the terminal-bitperm residual top permutation).
+    Out-of-place only: a grid step writes slots it did not read, so
+    ``input_output_aliases`` would race.  ``split_planes`` processes
+    re and im in two barriered passes so peak liveness stays at 3
+    planes (the capacity-tier requirement).
+    """
+    n = int(np.log2(re.size))
+    assert n >= 10, "bitperm swap needs the (.., 8, 128) view"
+    pairs = tuple(tuple(sorted(p)) for p in pairs)
+    grid_map = dict(grid_map or {})
+    flat = [b for p in pairs for b in p]
+    assert len(set(flat)) == len(flat), "pairs must be disjoint"
+    assert all(7 <= lo and hi < n for lo, hi in pairs)
+    assert sorted(grid_map) == sorted(grid_map.values()), "not a bijection"
+    assert all(b >= 10 and grid_map[b] >= 10 for b in grid_map)
+    assert not (set(flat) & (set(grid_map) | set(grid_map.values())))
+    grid_map = {b: s for b, s in grid_map.items() if b != s}
+    sub = [p for p in pairs if p[0] < 10]
+    grid_pairs = [p for p in pairs if p[0] >= 10]
+
+    # Factored view, bit n-1 down to bit 10: every bit involved in any
+    # pair gets its own axis; plain runs between collapse to one axis.
+    special = sorted({h for _, h in sub if h >= 10}
+                     | {b for p in grid_pairs for b in p}
+                     | set(grid_map) | set(grid_map.values()),
+                     reverse=True)
+    shape: list[int] = []
+    axis_of_bit: dict[int, int] = {}
+    plain_axes: list[int] = []
+    cur = 0
+    for b in range(n - 1, 9, -1):
+        if b in special:
+            if cur:
+                shape.append(1 << cur)
+                plain_axes.append(len(shape) - 1)
+                cur = 0
+            shape.append(2)
+            axis_of_bit[b] = len(shape) - 1
+        else:
+            cur += 1
+    if cur:
+        shape.append(1 << cur)
+        plain_axes.append(len(shape) - 1)
+    lead_rank = len(shape)
+    shape += [8, 128]
+
+    # Blocks: sub-pair partner axes ride whole (their exchange is
+    # in-kernel); grid-pair bits and plain axes are gridded, with a
+    # block factor on the lowest plain axis to amortize grid steps.
+    sub_hi_axes = {axis_of_bit[h] for _, h in sub if h >= 10}
+    block = [1] * lead_rank + [8, 128]
+    base = 8 * 128 * (1 << len(sub_hi_axes))
+    for ax in sub_hi_axes:
+        block[ax] = 2
+    bf = max(1, block_elems // base)
+    if plain_axes:
+        ax = plain_axes[-1]
+        block[ax] = min(shape[ax], bf)
+    # Flattened single grid dim: axis i contributes log2(extent_i) bits.
+    shifts: list[tuple[int, int, int]] = []  # (axis, shift, mask)
+    gbits = 0
+    for ax in range(lead_rank - 1, -1, -1):
+        ext = shape[ax] // block[ax]
+        if ext > 1:
+            shifts.append((ax, gbits, ext - 1))
+            gbits += ext.bit_length() - 1
+    G = 1 << gbits
+    # Input axis source map: axis of out bit b reads the decoded
+    # coordinate of the axis of in bit (pairs swap; grid_map arbitrary).
+    src_axis = {}
+    for a, b in grid_pairs:
+        src_axis[axis_of_bit[a]] = axis_of_bit[b]
+        src_axis[axis_of_bit[b]] = axis_of_bit[a]
+    for b, s in grid_map.items():
+        src_axis[axis_of_bit[b]] = axis_of_bit[s]
+
+    def _decode(g):
+        idx = [0] * (lead_rank + 2)
+        for ax, sh, mask in shifts:
+            idx[ax] = (g >> sh) & mask
+        return idx
+
+    def out_map(g):
+        return tuple(_decode(g))
+
+    def in_map(g):
+        idx = _decode(g)
+        snap = list(idx)
+        for ax, other in src_axis.items():
+            idx[ax] = snap[other]
+        return tuple(idx)
+
+    # Kernel shape: split the 8-axis into (2,2,2) = bits (9,8,7).
+    kblock = [b for b in block[:lead_rank]] + [2, 2, 2, 128]
+    sub_axis_of_bit = dict(axis_of_bit)
+    for b_, off in ((9, 0), (8, 1), (7, 2)):
+        sub_axis_of_bit[b_] = lead_rank + off
+    ax_pairs = tuple(
+        (sub_axis_of_bit[lo], sub_axis_of_bit[hi]) for lo, hi in sub)
+
+    spec_in = pl.BlockSpec(tuple(block), in_map, memory_space=pltpu.VMEM)
+    spec_out = pl.BlockSpec(tuple(block), out_map,
+                            memory_space=pltpu.VMEM)
+    vshape = tuple(shape)
+
+    def one(x):
+        kern = functools.partial(_bitperm_swap_one_kernel,
+                                 kshape=tuple(kblock), ax_pairs=ax_pairs)
+        return pl.pallas_call(
+            kern,
+            grid=(G,),
+            in_specs=[spec_in],
+            out_specs=spec_out,
+            out_shape=jax.ShapeDtypeStruct(vshape, x.dtype),
+            interpret=interpret,
+        )(x.reshape(vshape)).reshape(x.size)
+
+    if split_planes:
+        # Capacity tier: one plane at a time keeps peak liveness at 3
+        # planes (12 GiB at n=30); the barrier stops XLA overlapping
+        # the two out-of-place passes.
+        ore = one(re)
+        ore, im = jax.lax.optimization_barrier((ore, im))
+        return ore, one(im)
+
+    kern = functools.partial(_bitperm_swap_kernel,
+                             kshape=tuple(kblock), ax_pairs=ax_pairs)
+    ore, oim = pl.pallas_call(
+        kern,
+        grid=(G,),
+        in_specs=[spec_in, spec_in],
+        out_specs=[spec_out, spec_out],
+        out_shape=[jax.ShapeDtypeStruct(vshape, re.dtype)] * 2,
+        interpret=interpret,
+    )(re.reshape(vshape), im.reshape(vshape))
+    return ore.reshape(re.size), oim.reshape(im.size)
+
+
+def _bitperm_swap_one_kernel(x_ref, o_ref, *, kshape, ax_pairs):
+    # Single-plane variant of _bitperm_swap_kernel (split_planes mode).
+    if not ax_pairs:
+        o_ref[:] = x_ref[:]
+        return
+    o_ref[:] = _axis_exchange(x_ref[:], x_ref.shape, kshape, ax_pairs)
+
+
+def _transpose_cross_kernel(re_ref, im_ref, ore_ref, oim_ref, *, bm):
+    # Mosaic's native tile transpose: measured 768 GB/s on v5e vs 333
+    # for the two-permutation-matmul form (_bitperm_cross_kernel).
+    for ref, oref in ((re_ref, ore_ref), (im_ref, oim_ref)):
+        for j in range(bm):
+            oref[:, j, :] = ref[:, j, :].T
+
+
+def bitperm_transpose_planar(
+    re: jnp.ndarray,
+    im: jnp.ndarray,
+    *,
+    interpret: bool = False,
+    inplace: bool = False,
+):
+    """Pure in-order lane<->top field exchange: lane l <-> bit n-7+l.
+
+    The (128, M, 128) view's tiles transpose in-VMEM on Mosaic's
+    native transpose path; identity index maps make the pass
+    aliasing-safe (``inplace`` costs ZERO extra HBM at capacity).  Any
+    general crossing ``sigma`` factors as A∘T with A = within-field bit
+    permutations (lane part folds into the last lane panel's W; top
+    part rides :func:`bitperm_swap_planar`'s index maps) and T = this
+    kernel — see ``circuit/panelize._decompose_terminal_bitperm``.
+    """
+    n = int(np.log2(re.size))
+    assert n >= 14, "transpose crossing needs the (128, M, 128) view"
+    M = 1 << (n - 14)
+    BM = 8 if M >= 8 else M
+    spec = pl.BlockSpec((128, BM, 128), lambda m: (0, m, 0),
+                        memory_space=pltpu.VMEM)
+    ore, oim = pl.pallas_call(
+        functools.partial(_transpose_cross_kernel, bm=BM),
+        grid=(M // BM,),
+        in_specs=[spec, spec],
+        out_specs=[spec, spec],
+        out_shape=[jax.ShapeDtypeStruct((128, M, 128), re.dtype)] * 2,
+        input_output_aliases={0: 0, 1: 1} if inplace else {},
+        interpret=interpret,
+    )(re.reshape(128, M, 128), im.reshape(128, M, 128))
+    return ore.reshape(re.size), oim.reshape(im.size)
+
+
 def _transpose_kernel(x_ref, o_ref):
     o_ref[:] = x_ref[:].T
 

@@ -159,10 +159,23 @@ def apply_window_op(re, im, op, dtype, interpret, inplace=False,
     * everything else     -> planar elementwise / complex mixed paths
     """
     from ..circuit.panelize import (
-        BitPermOp, DiagOp, MultiSwapOp, WindowPanelOp,
+        BitPermGridOp, BitPermOp, DiagOp, MultiSwapOp, TransposeCrossOp,
+        WindowPanelOp,
     )
     from ..ops import pallas_kernels as pk
 
+    if isinstance(op, BitPermGridOp):
+        # Mid pairs + residual top permutation in one out-of-place
+        # pass (>= 10 bits are pure index-map re-addressing); capacity
+        # splits planes to keep peak liveness at 3.
+        return pk.bitperm_swap_planar(
+            re, im, op.pairs, grid_map=dict(op.grid_map),
+            split_planes=inplace, interpret=interpret)
+    if isinstance(op, TransposeCrossOp):
+        # Native-transpose crossing (768 GB/s vs 333 matmul form);
+        # identity block maps make it aliasing-safe at capacity.
+        return pk.bitperm_transpose_planar(
+            re, im, interpret=interpret, inplace=inplace)
     if isinstance(op, BitPermOp):
         # Terminal SWAP network: the 7 lane<->top transpositions run
         # as ONE aliased crossing pass; middle transpositions ride the
@@ -364,8 +377,9 @@ def build_window_circuit_fn(
     terms_only = inplace or (
         n >= 10 and _os.environ.get("QST_DIAG_TERMS_ONLY", "1") == "1")
     fuse = _os.environ.get("QST_PANEL_DIAG_FUSE", "1") != "0"
+    bpd = _os.environ.get("QST_BITPERM_DECOMP", "1") != "0"
     key = ("window", circuit_hash(cd), jnp.dtype(dtype).name, window,
-           donate, interpret, inplace, planar_io, terms_only, fuse)
+           donate, interpret, inplace, planar_io, terms_only, fuse, bpd)
     cached = _COMPILE_CACHE.get(key)
     if cached is not None:
         return cached

@@ -340,18 +340,73 @@ class TestBitPerm:
 
     def test_qft_schedule_collapses_swap_tail(self):
         from quantum_simulations_tpu.circuit.panelize import (
-            BitPermOp, MultiSwapOp, PhysGateOp, compile_window_schedule,
+            BitPermGridOp, BitPermOp, MultiSwapOp, PhysGateOp,
+            TransposeCrossOp, compile_window_schedule,
         )
         ops = compile_window_schedule(lib.qft(18))
-        bp = [o for o in ops if isinstance(o, BitPermOp)]
-        assert len(bp) == 1
-        assert not any(isinstance(o, MultiSwapOp) for o in ops)
+        # Terminal bitperm decomposes: one grid pass (mid pairs +
+        # residual top permutation via index maps) + a pure transpose;
+        # the lane-bit permutation was folded into a pos-0 panel's W.
+        assert isinstance(ops[-1], TransposeCrossOp)
+        assert isinstance(ops[-2], BitPermGridOp)
+        assert not any(isinstance(o, (BitPermOp, MultiSwapOp))
+                       for o in ops)
         # No standalone SWAP stragglers remain.
         from quantum_simulations_tpu.ops.dense import _SWAP4
         assert not any(
             isinstance(o, PhysGateOp)
             and np.array_equal(np.asarray(o.U, complex), _SWAP4)
             for o in ops)
+
+    @pytest.mark.parametrize("pairs", [
+        ((7, 12),), ((7, 12), (8, 11)), ((10, 14),),
+        ((7, 14), (8, 13), (9, 12), (10, 11)), ((7, 9),),
+    ])
+    def test_swap_kernel_matches_numpy(self, pairs):
+        n = 16
+        re, im = _planes(n, 7)
+        ore, oim = pk.bitperm_swap_planar(re, im, pairs, interpret=True)
+        np.testing.assert_array_equal(
+            np.asarray(ore), self._ref_perm(np.asarray(re), n, pairs))
+        np.testing.assert_array_equal(
+            np.asarray(oim), self._ref_perm(np.asarray(im), n, pairs))
+
+    def test_swap_kernel_grid_map_and_split(self):
+        # Arbitrary (non-involution) bijection on bits >= 10: a
+        # 3-cycle 10 -> 12 -> 14 -> 10, with a sublane pair on top.
+        n = 16
+        re, im = _planes(n, 9)
+        gm = {10: 12, 12: 14, 14: 10}  # out bit <- in bit
+        ore, oim = pk.bitperm_swap_planar(
+            re, im, ((7, 11),), grid_map=gm, split_planes=True,
+            interpret=True)
+        idx = np.arange(1 << n)
+        src = np.zeros_like(idx)
+        moved = 0
+        for out_b, in_b in gm.items():
+            # bit out_b of sigma(i) = bit in_b of i
+            src |= ((idx >> in_b) & 1) << out_b
+            moved |= 1 << out_b
+        src |= ((idx >> 7) & 1) << 11
+        src |= ((idx >> 11) & 1) << 7
+        moved |= (1 << 7) | (1 << 11)
+        src |= idx & ~moved
+        np.testing.assert_array_equal(np.asarray(ore),
+                                      np.asarray(re)[src])
+        np.testing.assert_array_equal(np.asarray(oim),
+                                      np.asarray(im)[src])
+
+    @pytest.mark.parametrize("inplace", [False, True])
+    def test_transpose_cross_matches_numpy(self, inplace):
+        n = 16
+        re, im = _planes(n, 11)
+        pairs = [(el, n - 7 + el) for el in range(7)]
+        ore, oim = pk.bitperm_transpose_planar(
+            re, im, interpret=True, inplace=inplace)
+        np.testing.assert_array_equal(
+            np.asarray(ore), self._ref_perm(np.asarray(re), n, pairs))
+        np.testing.assert_array_equal(
+            np.asarray(oim), self._ref_perm(np.asarray(im), n, pairs))
 
     def test_illegal_pairs_fall_back(self):
         """A terminal lane<->middle SWAP can't ride the kernel."""
