@@ -29,6 +29,10 @@ def _class_key(op) -> str:
     )
     from ..circuit import gates as G
 
+    from ..circuit.panelize import DualPanelOp
+
+    if isinstance(op, DualPanelOp):
+        return f"dualpanel@{op.first.pos}+{op.second.pos}"
     if isinstance(op, WindowPanelOp):
         return f"panel@{op.pos}"
     if isinstance(op, MultiSwapOp):

@@ -471,9 +471,37 @@ def compile_window_ops(
             from ..ops.dense import _SWAP4
             out.extend(PhysGateOp(p, _SWAP4, "SWAP") for p in pairs)
 
-    return _decompose_terminal_bitperm(_merge_swap_runs(
+    return _fuse_panel_pairs(_decompose_terminal_bitperm(_merge_swap_runs(
         _merge_diag_runs(out, layout_safe=layout_safe_diag,
-                         terms_only=diag_terms_only)), n)
+                         terms_only=diag_terms_only)), n))
+
+
+def _fuse_panel_pairs(ops: list) -> list:
+    """Fuse consecutive panels at positions (0,7)/(0,8)/(7,8) into one
+    pass (:class:`DualPanelOp`).  ``QST_PANEL_PAIR_FUSE=0`` reverts."""
+    import os as _os
+
+    from ..ops.pallas_kernels import dual_panel_supported
+
+    if _os.environ.get("QST_PANEL_PAIR_FUSE", "1") == "0":
+        return ops
+    out: list = []
+    i = 0
+    while i < len(ops):
+        a = ops[i]
+        b = ops[i + 1] if i + 1 < len(ops) else None
+        if (isinstance(a, WindowPanelOp) and isinstance(b, WindowPanelOp)
+                and not isinstance(a.W, tuple)
+                and not isinstance(b.W, tuple)
+                and a.W.shape[0] == 128 and b.W.shape[0] == 128
+                and a.pos != b.pos
+                and dual_panel_supported(a.pos, b.pos)):
+            out.append(DualPanelOp(a, b))
+            i += 2
+        else:
+            out.append(a)
+            i += 1
+    return out
 
 
 def _decompose_terminal_bitperm(ops: list, n: int) -> list:
@@ -690,6 +718,21 @@ class MultiSwapOp:
     lanes.
     """
     pairs: tuple[tuple[int, int], ...]
+
+
+@dataclass(frozen=True)
+class DualPanelOp:
+    """Two consecutive window panels fused into ONE HBM pass.
+
+    Supported position pairs (0,7), (0,8), (7,8): the combined span
+    reaches down to the lanes so the (A, D, 128) view trails in
+    exactly 128 lanes and both contractions stay Mosaic-clean
+    (``ops/pallas_kernels.dual_panel_planar``).  Panels are
+    near-bandwidth-bound: the second contraction rides the same
+    read+write.
+    """
+    first: "WindowPanelOp"
+    second: "WindowPanelOp"
 
 
 @dataclass(frozen=True)

@@ -25,6 +25,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# The panels are MXU-BOUND at HIGHEST precision, not HBM-bound:
+# measured 30 TFLOP/s on v5e (the bf16_3x ceiling), so a pass costs
+# ~6.8 ms at n=28 vs the 5.24 ms bandwidth floor.  A manual hi/lo-bf16
+# 3-product split (same arithmetic, explicit) raced SLOWER (0.159 vs
+# 0.144 s nonstab28) and 100x less accurate per product — HIGHEST is
+# already the precision-constrained speed of light here; Mosaic
+# rejects Precision.HIGH inside kernels, and 1-pass bf16 (DEFAULT)
+# loses 15 mantissa bits.  Do not re-race.
 HI = jax.lax.Precision.HIGHEST
 _DN = (((1,), (1,)), ((), ()))  # contract dim1 x dim1: a @ b.T
 
@@ -38,6 +46,11 @@ _DN = (((1,), (1,)), ((), ()))  # contract dim1 x dim1: a @ b.T
 # scale (|t| <= 2*max|m|, same cancellation class as the direct form).
 # QST_PANEL_GAUSS=0 restores the 4-matmul form for A/B racing.
 _GAUSS = __import__("os").environ.get("QST_PANEL_GAUSS", "1") != "0"
+
+
+def _pe(x):
+    """Accumulation dtype for panel matmuls (f32 even for bf16 inputs)."""
+    return jnp.float64 if x.dtype == jnp.float64 else jnp.float32
 
 
 def _cmul_planes(mm, re, im, wr, wi):
@@ -89,7 +102,8 @@ def _panel_kernel(*refs, rotate: bool, dspec=None):
     wi = wi_ref[:]
 
     def mm(x, w):
-        return jax.lax.dot_general(x, w, _DN, precision=HI)
+        return jax.lax.dot_general(x, w, _DN, precision=HI,
+                                   preferred_element_type=_pe(x))
 
     o_re, o_im = _cmul_planes(mm, re, im, wr, wi)
     if dspec is not None:
@@ -212,6 +226,151 @@ def panel_apply_planar(
     return ore.reshape(N), oim.reshape(N)
 
 
+def _dual_panel_kernel(*refs, modes, dspec=None):
+    # Two panel contractions in ONE HBM pass on block (BA, 128, 128):
+    # 'full' contracts axis 1 (the pos-7 window), 'lane' the trailing
+    # lane axis (the pos-0 window) — the second contraction rides the
+    # first's read+write.
+    if dspec is None:
+        (re_ref, im_ref, w1r_ref, w1i_ref, w2r_ref, w2i_ref,
+         ore_ref, oim_ref) = refs
+    else:
+        (re_ref, im_ref, w1r_ref, w1i_ref, w2r_ref, w2i_ref,
+         a_ref, m_ref, ore_ref, oim_ref) = refs
+    o_re = re_ref[:]
+    o_im = im_ref[:]
+
+    for mode, wrr, wir in zip(modes, (w1r_ref, w2r_ref),
+                              (w1i_ref, w2i_ref)):
+        wr = wrr[:]
+        wi = wir[:]
+        if mode == "full":
+            def mm(x, w):
+                return jnp.einsum("ij,ajk->aik", w, x, precision=HI,
+                                  preferred_element_type=_pe(x))
+        else:  # 'lane'
+            def mm(x, w):
+                return jnp.einsum("adm,lm->adl", x, w, precision=HI,
+                                  preferred_element_type=_pe(x))
+        o_re, o_im = _cmul_planes(mm, o_re, o_im, wr, wi)
+
+    if dspec is not None:
+        th = _theta_matmul(a_ref, m_ref, dspec, o_re.dtype).reshape(
+            o_re.shape)
+        o_re, o_im = _rotate_by_theta(o_re, o_im, th)
+    ore_ref[:] = o_re
+    oim_ref[:] = o_im
+
+
+def dual_panel_supported(p1: int, p2: int) -> bool:
+    # (0,8)/(7,8) raced SLOWER fused: the pos-8 operator must expand
+    # to kron(W, I2) (2x MXU flops) and panels are MXU-bound — e.g.
+    # dual@8+7 19.2 ms vs 16.6 separate at n=28.  Only (0,7), whose
+    # two contractions are both plain 128-wide, wins (12.8 vs 13.6).
+    return {p1, p2} == {0, 7}
+
+
+def dual_panel_planar(
+    re: jnp.ndarray,
+    im: jnp.ndarray,
+    W1: np.ndarray,
+    p1: int,
+    W2: np.ndarray,
+    p2: int,
+    *,
+    interpret: bool = False,
+    inplace: bool = False,
+    block_elems: int | None = None,
+    diag_terms=None,
+):
+    """Apply panel W1@p1 then W2@p2 in ONE HBM pass.
+
+    Only the (0, 7) pair is supported: its two contractions (lane
+    axis + row axis of the (A, 128, 128) view) are both plain
+    128-wide matmuls, so the fused pass reads/writes once while the
+    MXU work merely sums — measured 12.8 ms vs 13.6 separate at n=28
+    (panels are MXU-bound; see dual_panel_supported for the rejected
+    wider pairs).  An optional merged-diag epilogue (``diag_terms``)
+    rides the same pass.
+    """
+    assert dual_panel_supported(p1, p2), (p1, p2)
+    D = 128
+    N = re.size
+    A = N // (D * 128)
+    fdtype = re.dtype
+    if A == 0:  # tiny states: two passes (tests at n < 15)
+        def one(re, im, W, p, dt):
+            if p == 0:
+                return panel_apply_planar(re, im, W, interpret=interpret,
+                                          inplace=inplace, diag_terms=dt)
+            return positioned_panel_planar(re, im, W, p,
+                                           interpret=interpret,
+                                           inplace=inplace, diag_terms=dt)
+        re, im = one(re, im, W1, p1, None)
+        return one(re, im, W2, p2, diag_terms)
+
+    def prep(W, p):
+        Wn = np.asarray(W)
+        assert Wn.shape[0] == 128, "dual panel needs 128-wide operators"
+        return ("lane" if p == 0 else "full"), Wn
+
+    m1, U1 = prep(W1, p1)
+    m2, U2 = prep(W2, p2)
+    w1r, w1i = _w_planes(U1, fdtype)
+    w2r, w2i = _w_planes(U2, fdtype)
+
+    be = block_elems if block_elems is not None else 1 << 17
+    BA = max(1, be // (D * 128))
+    while A % BA:
+        BA //= 2
+
+    dplan = None
+    if diag_terms is not None:
+        split = 7 + (BA * D).bit_length() - 1  # in-block bits [7, split)
+        dplan = _panel_diag_plan(
+            diag_terms,
+            {q: q - 7 for q in range(7, split)},
+            {q: (0, q - split) for q in range(split, 64)},
+            BA * D, fdtype)
+        if dplan is None:
+            re, im = dual_panel_planar(
+                re, im, W1, p1, W2, p2, interpret=interpret,
+                inplace=inplace, block_elems=block_elems)
+            return fused_diag_planar(re, im, diag_terms,
+                                     interpret=interpret, inplace=inplace)
+
+    spec = pl.BlockSpec((BA, D, 128), lambda a: (a, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+    def wspec(w):
+        return pl.BlockSpec(w.shape, lambda a: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [spec, spec, wspec(w1r), wspec(w1i), wspec(w2r),
+                wspec(w2i)]
+    operands = [re.reshape(A, D, 128), im.reshape(A, D, 128),
+                w1r, w1i, w2r, w2i]
+    if dplan is not None:
+        in_specs += [pl.BlockSpec(dplan[0].shape, lambda a: (0, 0),
+                                  memory_space=pltpu.VMEM),
+                     pl.BlockSpec(dplan[1].shape, lambda a: (0, 0),
+                                  memory_space=pltpu.VMEM)]
+        operands += [dplan[0], dplan[1]]
+    kern = functools.partial(
+        _dual_panel_kernel, modes=(m1, m2),
+        dspec=None if dplan is None else dplan[2])
+    ore, oim = pl.pallas_call(
+        kern,
+        grid=(A // BA,),
+        in_specs=in_specs,
+        out_specs=[spec, spec],
+        out_shape=[jax.ShapeDtypeStruct((A, D, 128), fdtype)] * 2,
+        input_output_aliases={0: 0, 1: 1} if inplace else {},
+        interpret=interpret,
+    )(*operands)
+    return ore.reshape(N), oim.reshape(N)
+
+
 def _positioned_row_kernel(*refs, e=0, dspec=None):
     if dspec is None:
         re_ref, im_ref, wr_ref, wi_ref, ore_ref, oim_ref = refs
@@ -229,7 +388,8 @@ def _positioned_row_kernel(*refs, e=0, dspec=None):
     dim = wr.shape[0]
 
     def mm(x, w):
-        return jnp.einsum("ij,ajk->aik", w, x, precision=HI)
+        return jnp.einsum("ij,ajk->aik", w, x, precision=HI,
+                          preferred_element_type=_pe(x))
 
     if e == 0:
         re = re_ref[:]
@@ -276,7 +436,8 @@ def _positioned_4d_kernel(*refs, BB, dspec=None):
     wi = wi_ref[:]
 
     def mm(x, w):
-        return jnp.einsum("ij,ajk->aik", w, x, precision=HI)
+        return jnp.einsum("ij,ajk->aik", w, x, precision=HI,
+                          preferred_element_type=_pe(x))
 
     th4 = None
     if dspec is not None:

@@ -159,11 +159,15 @@ def apply_window_op(re, im, op, dtype, interpret, inplace=False,
     * everything else     -> planar elementwise / complex mixed paths
     """
     from ..circuit.panelize import (
-        BitPermGridOp, BitPermOp, DiagOp, MultiSwapOp, TransposeCrossOp,
-        WindowPanelOp,
+        BitPermGridOp, BitPermOp, DiagOp, DualPanelOp, MultiSwapOp,
+        TransposeCrossOp, WindowPanelOp,
     )
     from ..ops import pallas_kernels as pk
 
+    if isinstance(op, DualPanelOp):
+        return pk.dual_panel_planar(
+            re, im, op.first.W, op.first.pos, op.second.W, op.second.pos,
+            interpret=interpret, inplace=inplace, diag_terms=diag_terms)
     if isinstance(op, BitPermGridOp):
         # Mid pairs + residual top permutation in one out-of-place
         # pass (>= 10 bits are pure index-map re-addressing); capacity
@@ -311,7 +315,7 @@ def pair_panel_diag(ops, enabled: bool | None = None):
     """
     import os as _os
 
-    from ..circuit.panelize import DiagOp, WindowPanelOp
+    from ..circuit.panelize import DiagOp, DualPanelOp, WindowPanelOp
 
     if enabled is None:
         enabled = _os.environ.get("QST_PANEL_DIAG_FUSE", "1") != "0"
@@ -320,7 +324,7 @@ def pair_panel_diag(ops, enabled: bool | None = None):
     while i < len(ops):
         op = ops[i]
         nxt = ops[i + 1] if i + 1 < len(ops) else None
-        if (enabled and isinstance(op, WindowPanelOp)
+        if (enabled and isinstance(op, (WindowPanelOp, DualPanelOp))
                 and isinstance(nxt, DiagOp) and nxt.terms is not None):
             out.append((op, nxt.terms))
             i += 2
@@ -378,8 +382,10 @@ def build_window_circuit_fn(
         n >= 10 and _os.environ.get("QST_DIAG_TERMS_ONLY", "1") == "1")
     fuse = _os.environ.get("QST_PANEL_DIAG_FUSE", "1") != "0"
     bpd = _os.environ.get("QST_BITPERM_DECOMP", "1") != "0"
+    ppf = _os.environ.get("QST_PANEL_PAIR_FUSE", "1") != "0"
     key = ("window", circuit_hash(cd), jnp.dtype(dtype).name, window,
-           donate, interpret, inplace, planar_io, terms_only, fuse, bpd)
+           donate, interpret, inplace, planar_io, terms_only, fuse, bpd,
+           ppf)
     cached = _COMPILE_CACHE.get(key)
     if cached is not None:
         return cached
