@@ -97,6 +97,36 @@ class TestWindowSchedulerFuzz:
             cd, dtype="complex128", mode="window"))
         np.testing.assert_allclose(got, want, atol=ATOL)
 
+    @pytest.mark.parametrize("seed", range(6))
+    def test_terminal_swap_tails_decompose_to_oracle(self, seed):
+        """Random terminal SWAP networks at n >= 17 exercise the
+        decomposed bitperm path (lane fold + index-map pass + native
+        transpose) against the oracle."""
+        from quantum_simulations_tpu.runtime import simulator
+
+        rng = random.Random(seed * 13 + 5)
+        n = rng.choice([17, 18])
+        gates = [_g("H", [q]) for q in range(n)]
+        gates += [_g("T", [rng.randrange(n)]) for _ in range(6)]
+        # a random disjoint terminal SWAP set incl. lane<->top pairs
+        qubits = list(range(n))
+        rng.shuffle(qubits)
+        lanes = sorted(q for q in qubits if q < 7)
+        tops = [q for q in qubits if q >= n - 7]
+        rng.shuffle(tops)  # random lane<->top bijection (random pi)
+        pairs = list(zip(lanes, tops))
+        mids = [q for q in qubits if 7 <= q < n - 7]
+        while len(mids) >= 2:
+            a, b = mids.pop(), mids.pop()
+            pairs.append((min(a, b), max(a, b)))
+        rng.shuffle(pairs)
+        gates += [_g("SWAP", list(p)) for p in pairs]
+        cd = {"number_of_qubits": n, "gates": gates}
+        want = oracle.simulate(cd)
+        got = np.asarray(simulator.simulate(
+            cd, dtype="complex128", mode="window"))
+        np.testing.assert_allclose(got, want, atol=ATOL)
+
     def test_minimal_window_width_n(self):
         """n == window width: the whole circuit is ONE composed panel."""
         from quantum_simulations_tpu.runtime import simulator
