@@ -431,6 +431,29 @@ def compile_window_ops(
                 mark(i)
                 progress = changed = True
             pending = still
+        # Coalesce buckets: a bucket whose gates all fit another
+        # bucket's window merges into it (buckets of one phase own
+        # DISJOINT qubit sets — the owner map — so they commute).
+        # QFT's tail SWAP folds otherwise fragment into panels
+        # @7/@8/@9 when one @9 panel covers all three.
+        merged = True
+        while merged and len(buckets) > 1:
+            merged = False
+            for s1 in sorted(buckets):
+                for s2 in sorted(buckets):
+                    if s1 == s2:
+                        continue
+                    w2 = min(w, n - s2)
+                    if all(s2 <= min(r) + s1 and max(r) + s1 < s2 + w2
+                           for r, _ in buckets[s1]):
+                        buckets[s2].extend(
+                            (tuple(q + s1 - s2 for q in r), U)
+                            for r, U in buckets[s1])
+                        del buckets[s1]
+                        merged = True
+                        break
+                if merged:
+                    break
         for s in sorted(buckets):
             # Full-width panels always (8.3 ms/pass measured): narrow
             # panels had pathological kernel grids and converting small
