@@ -454,6 +454,11 @@ def compile_window_ops(
                         break
                 if merged:
                     break
+        # Ascending emission keeps (0,7) adjacent for the dual-panel
+        # fuse.  (An order ending phases in the lane panel to chain
+        # cross-phase (0,7) pairs was tried and LOST: diag/generic ops
+        # sit at phase boundaries and break the adjacency, while the
+        # within-phase pairs disappear.)
         for s in sorted(buckets):
             # Full-width panels always (8.3 ms/pass measured): narrow
             # panels had pathological kernel grids and converting small
