@@ -248,6 +248,29 @@ def test_window_mode_merged_diag_k10(mesh8):
     np.testing.assert_allclose(got, oracle.simulate(cd), atol=1e-10)
 
 
+def test_window_mode_decomposed_bitperm_k17(mesh8):
+    # k = 20 - 3 = 17 crosses the terminal-bitperm decomposition gate:
+    # the shard-local QFT bit-reversal runs as the index-map
+    # BitPermGridOp + native-transpose crossing INSIDE shard_map (the
+    # lane permutation folded into a shard-local panel operator).
+    from quantum_simulations_tpu.circuit import gates as G
+    from quantum_simulations_tpu.circuit.contract import (
+        validate_circuit_dict)
+    from quantum_simulations_tpu.circuit.panelize import (
+        TransposeCrossOp, compile_window_ops)
+
+    cd = lib.qft(20)
+    local = [(tuple(g["qubits"]),
+              G.gate_matrix(g["gate"], g["params"]), g["gate"])
+             for g in validate_circuit_dict(lib.qft(17))["gates"]]
+    kops = compile_window_ops(local, 17, diag_terms_only=True)
+    assert any(isinstance(o, TransposeCrossOp) for o in kops)
+
+    got = E.collect_state(E.simulate_sharded(
+        mesh8, cd, dtype="complex128", mode="window"))
+    np.testing.assert_allclose(got, oracle.simulate(cd), atol=1e-10)
+
+
 def test_window_mode_mesh2(mesh2):
     cd = lib.qft(9)
     got = E.collect_state(E.simulate_sharded(
