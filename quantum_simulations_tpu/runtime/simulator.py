@@ -307,11 +307,17 @@ def apply_window_op(re, im, op, dtype, interpret, inplace=False,
 def pair_panel_diag(ops, enabled: bool | None = None):
     """Peephole over a window schedule: [(op, fused_diag_terms), ...].
 
-    A WindowPanelOp immediately followed by a terms-only DiagOp
+    A WindowPanelOp immediately followed by a LARGE terms-only DiagOp
     becomes ONE kernel pass (the diag applies as an in-VMEM matmul
-    epilogue, ``ops/diag_plan.py``) — qft26's 3 merged diag passes
-    ride their preceding panels for free.  ``QST_PANEL_DIAG_FUSE=0``
-    reverts for A/B racing.
+    epilogue, ``ops/diag_plan.py``) — qft26's 3 big merged diag passes
+    (49-103 terms) ride their preceding panels.  SMALLER runs stay
+    separate: the epilogue's cos/sin serializes with the panel's MXU
+    work, and up to ~45 terms that costs more than the saved pass
+    (sycamore26's 2-7-term runs: 0.0648 fused vs 0.0622 unfused;
+    qaoa26's 41-45-term runs: 0.0431 vs 0.0419 — measured
+    2026-08-19; capacity-tier runs are far larger and always fuse).
+    ``QST_PANEL_DIAG_FUSE=0`` disables entirely;
+    ``QST_PANEL_DIAG_FUSE_MIN`` tunes the threshold.
     """
     import os as _os
 
@@ -319,13 +325,15 @@ def pair_panel_diag(ops, enabled: bool | None = None):
 
     if enabled is None:
         enabled = _os.environ.get("QST_PANEL_DIAG_FUSE", "1") != "0"
+    min_terms = int(_os.environ.get("QST_PANEL_DIAG_FUSE_MIN", "48"))
     out = []
     i = 0
     while i < len(ops):
         op = ops[i]
         nxt = ops[i + 1] if i + 1 < len(ops) else None
         if (enabled and isinstance(op, (WindowPanelOp, DualPanelOp))
-                and isinstance(nxt, DiagOp) and nxt.terms is not None):
+                and isinstance(nxt, DiagOp) and nxt.terms is not None
+                and len(nxt.terms) >= min_terms):
             out.append((op, nxt.terms))
             i += 2
         else:
