@@ -31,7 +31,9 @@ def main(argv=None) -> int:
     common = argparse.ArgumentParser(add_help=False)
     common.add_argument("circuit", help="circuit JSON or .qasm file")
     common.add_argument("--dtype", default="complex64")
-    common.add_argument("--mode", default="panel", choices=["panel", "fused", "window", "auto"])
+    common.add_argument("--mode", default="panel",
+                        choices=["panel", "fused", "window", "capacity",
+                                 "auto"])
     common.add_argument("--devices", type=int, default=None)
     common.add_argument("--stripe-qubits", type=int, default=None)
     common.add_argument("--spill-backend", default="host",
@@ -133,7 +135,9 @@ def main(argv=None) -> int:
         return 0
 
     result = api_simulate(cd, cfg, work_dir=args.work_dir)
-    if hasattr(result, "top_amplitudes"):  # stayed sparse (incl. auto)
+    if hasattr(result, "summary"):  # capacity tier: planar readout
+        print(json.dumps(result.summary(args.top), indent=1))
+    elif hasattr(result, "top_amplitudes"):  # stayed sparse (incl. auto)
         print(json.dumps({
             "nonzero": len(result),
             "norm": result.norm(),

@@ -59,6 +59,18 @@ def simulate(circuit_dict: dict, config: SimulatorConfig | None = None,
 
         return simulate_sparse(cd, threshold=cfg.sparse_threshold)
 
+    n = cd["number_of_qubits"]
+    capacity = cfg.mode == "capacity" or (cfg.mode == "auto" and n >= 29)
+    if (capacity and not cfg.sparse and cfg.stripe_qubits is None
+            and (cfg.n_devices or 1) == 1 and work_dir is None):
+        # Single-chip capacity tier (n >= 29): planar in-place programs,
+        # planar readout — the product surface over bench/capacity.py's
+        # measured n=30 path (reference ceiling: single_node.py:78 run()
+        # reaching n=30 out-of-core).
+        from .runtime.capacity import simulate_capacity
+
+        return simulate_capacity(cd, dtype=cfg.dtype)
+
     if cfg.stripe_qubits is not None:
         from .runtime import spill
 
@@ -79,8 +91,13 @@ def simulate(circuit_dict: dict, config: SimulatorConfig | None = None,
 
         mesh = M.make_mesh(n_devices)
         if work_dir is not None:
+            runner_mode = (
+                "capacity" if capacity
+                else "window" if cfg.mode == "window"
+                else "fused"
+            )
             runner.run(
-                cd, work_dir, mesh=mesh, dtype=cfg.dtype,
+                cd, work_dir, mesh=mesh, dtype=cfg.dtype, mode=runner_mode,
                 use_wal=cfg.use_wal, use_fencing=cfg.use_fencing,
                 use_fusion=cfg.use_fusion, panel_width=cfg.panel_width,
                 use_staging=cfg.use_staging,
@@ -164,18 +181,35 @@ def expectation_z(circuit_dict: dict, qubits: list[int],
         )
         return float(sampling.expectation_z_sharded(psi, qubits, n, mesh))
     psi = simulate(circuit_dict, cfg)
+    if hasattr(psi, "expectation_z"):  # capacity tier: planar readout
+        return float(psi.expectation_z(qubits))
     return float(sampling.expectation_z(jnp.asarray(psi), qubits))
 
 
 def expectation_pauli(circuit_dict: dict, pauli: str | dict[int, str],
                       config: SimulatorConfig | None = None) -> float:
     """<psi| P |psi> for a Pauli string ('XZIY...' little-endian or
-    {qubit: letter}); non-Z axes are rotated into Z so the evaluation
-    stays on the fused elementwise path (see ops/observables.py)."""
-    import jax.numpy as jnp
+    {qubit: letter}).
 
-    from .ops import observables
+    Non-Z axes are rotated into Z by APPENDING the basis-change layer
+    (H for X, S-dagger then H for Y) to the circuit, then taking the
+    Z-string expectation through :func:`expectation_z` — so every tier
+    evaluates natively: the sharded tier reduces per shard + ``psum``
+    (no 2^n gather, unlike a host-side basis change), the capacity
+    tier stays planar (see ops/observables.py for the identity).
+    """
+    from .circuit.contract import validate_circuit_dict as _v
+    from .ops.observables import parse_pauli
 
     cfg = config or SimulatorConfig()
-    psi = simulate(circuit_dict, cfg)
-    return float(observables.expectation_pauli(jnp.asarray(psi), pauli))
+    cd = _v(circuit_dict)
+    ps = parse_pauli(pauli)
+    basis: list[dict] = []
+    for q in sorted(ps):
+        if ps[q] == "Y":
+            basis.append({"qubits": [q], "gate": "SDG"})
+        if ps[q] in ("X", "Y"):
+            basis.append({"qubits": [q], "gate": "H"})
+    rotated = {"number_of_qubits": cd["number_of_qubits"],
+               "gates": list(cd["gates"]) + basis}
+    return expectation_z(rotated, sorted(ps), cfg)

@@ -913,6 +913,30 @@ def _low_table_shear(re, im, qubits, d, lane, fdt, *, row_mask_bit=None):
         re, im, (A, 8, 1 << lane), S, tab(t), tab(si), need_sign)
 
 
+def apply_diag_terms_planar(re, im, terms):
+    """Exact Möbius-terms diagonal on planes — small-state fallback.
+
+    ``terms`` is the DiagOp decomposition (((qubits...), coeff), ...):
+    theta[i] = sum of coeff over terms whose qubit subset is all-ones
+    in i.  Used when the state is too small for the fused Pallas diag
+    kernel's (8, 128) block minimum (tests / tiny shards); everything
+    is elementwise, so XLA fuses the whole evaluation into one pass.
+    """
+    import jax.numpy as jnp
+
+    N = re.size
+    idx = jnp.arange(N, dtype=jnp.uint32)
+    theta = jnp.zeros(N, dtype=re.dtype)
+    for qs, c in terms:
+        allset = jnp.ones(N, dtype=re.dtype)
+        for q in qs:
+            allset = allset * ((idx >> q) & 1).astype(re.dtype)
+        theta = theta + np.dtype(re.dtype).type(c) * allset
+    cr = jnp.cos(theta)
+    sr = jnp.sin(theta)
+    return re * cr - im * sr, im * cr + re * sr
+
+
 def apply_diag_planar_shear(re, im, qubits: tuple[int, ...], d: np.ndarray,
                             *, lane_bits: int | None = None):
     """Diagonal phases via in-place-friendly shears on LAYOUT-SAFE views.

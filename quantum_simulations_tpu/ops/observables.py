@@ -52,6 +52,9 @@ def _parse_string(pauli: str | dict[int, str]) -> dict[int, str]:
     return out
 
 
+parse_pauli = _parse_string  # public name (api.expectation_pauli routing)
+
+
 def expectation_pauli(psi: jax.Array, pauli: str | dict[int, str]) -> jax.Array:
     """<psi| P |psi> for one Pauli string (real scalar)."""
     ps = _parse_string(pauli)

@@ -107,6 +107,114 @@ def fidelity(a: jax.Array, b: jax.Array) -> jax.Array:
     return jnp.abs(jnp.vdot(a, b))
 
 
+# ---------------------------------------------------------------------------
+# Planar readout (capacity tier): the state exists only as f32 planes
+# ---------------------------------------------------------------------------
+#
+# At n >= 29 single-chip the state is (re, im) f32 planes and a complex
+# copy cannot exist (runtime/simulator.build_window_circuit_fn
+# planar_io).  Every readout here reads the planes through FUSED
+# reductions — XLA folds the re*re+im*im producer into the reduce, so
+# the full probability vector is never materialized (a 2^30 f32 p
+# vector alone would be 4 GiB).  Reference measurement parity:
+# ``hisvsim_repo/state_vector.hpp:829-1003``.
+
+def _block_bits(n: int, floor: int = 3, cap: int = 15) -> int:
+    """Block width for hierarchical planar readout: ~sqrt(N), <= 2^15
+    (keeps per-shot gathered rows small), >= 2^3 (clamped to n)."""
+    return min(n, max(floor, min(cap, n // 2)))
+
+
+def norm2_planar(re: jax.Array, im: jax.Array) -> jax.Array:
+    return jnp.sum(re * re) + jnp.sum(im * im)
+
+
+def expectation_z_planar(re: jax.Array, im: jax.Array,
+                         qubits: list[int]) -> jax.Array:
+    """<Z...Z> on f32 planes — one fused sign-weighted reduction."""
+    mask = 0
+    for q in qubits:
+        mask |= 1 << q
+    parity = _bit_parity(re.size, mask)
+    signs = 1.0 - 2.0 * parity.astype(re.dtype)
+    return jnp.sum((re * re + im * im) * signs)
+
+
+def qubit_probability_planar(re: jax.Array, im: jax.Array, q: int) -> jax.Array:
+    """P(qubit q = 1) from f32 planes (fused strided reduction)."""
+    n = int(np.log2(re.size))
+    shape = (1 << (n - q - 1), 2, 1 << q)
+    p = (re * re + im * im).reshape(shape)
+    return jnp.sum(p[:, 1, :])
+
+
+def top_amplitudes_planar(re: jax.Array, im: jax.Array, k: int = 8):
+    """Global top-k |amplitude|^2 indices + complex values, hierarchical.
+
+    Two-level top-k: per-block maxima (one fused pass over the planes,
+    only the (B,) maxima materialize), take the top-k blocks, then
+    top-k within those blocks and reduce the k*k candidates.  Exact:
+    any global top-k item is top-k within its own block, and its block
+    is among the top-k blocks by max (otherwise k larger items exist).
+    Returns (idx[int], probs, amp_re, amp_im) as (k,) arrays.
+    """
+    n = int(np.log2(re.size))
+    lb = _block_bits(n)
+    L = 1 << lb
+    B = re.size >> lb
+    kb = min(k, B)
+    kl = min(k, L)
+
+    bm = jnp.max((re * re + im * im).reshape(B, L), axis=1)
+    _, blocks = jax.lax.top_k(bm, kb)
+    rr = re.reshape(B, L)[blocks]
+    ri = im.reshape(B, L)[blocks]
+    pr = rr * rr + ri * ri                      # (kb, L) — small
+    vals, loc = jax.lax.top_k(pr, kl)           # per-block top-k
+    # Indices stay int32: n <= 31 single-chip (the sharded tier reads
+    # out per shard, where local indices are always < 2^31).
+    cand_idx = blocks[:, None] * L + loc        # (kb, kl)
+    topv, sel = jax.lax.top_k(vals.reshape(-1), k)
+    idx = cand_idx.reshape(-1)[sel]
+    row = sel // kl
+    col = loc.reshape(-1)[sel]
+    amp_re = rr[row, col]
+    amp_im = ri[row, col]
+    return idx, topv, amp_re, amp_im
+
+
+def sample_bits_planar(re: jax.Array, im: jax.Array, key: jax.Array,
+                       shots: int, n: int) -> jax.Array:
+    """Bitstring samples from f32 planes — hierarchical Gumbel-max.
+
+    (1) Per-block probability masses (one fused pass, only (B,)
+    materializes); a categorical over block masses picks each shot's
+    block.  (2) The chosen blocks are gathered ((shots, L) — small) and
+    a batched categorical picks within-block offsets.  Equivalent to
+    sampling |psi|^2 exactly; no 2^n probability or log-prob vector is
+    ever built (the complex-path sampler's 4 GiB logp at n=30 doesn't
+    fit next to the planes).  Returns (shots, n) int8, column q =
+    qubit q.
+    """
+    lb = _block_bits(n)
+    L = 1 << lb
+    B = re.size >> lb
+
+    s = jnp.sum((re * re + im * im).reshape(B, L), axis=1)
+    key_b, key_l = jax.random.split(key)
+    blocks = jax.random.categorical(key_b, jnp.log(s + 1e-38),
+                                    shape=(shots,))
+    rr = re.reshape(B, L)[blocks]
+    ri = im.reshape(B, L)[blocks]
+    local = jax.random.categorical(key_l, jnp.log(rr * rr + ri * ri + 1e-38),
+                                   axis=-1)
+    qs_lo = jnp.arange(lb, dtype=jnp.int32)
+    lo_bits = ((local[:, None] >> qs_lo[None, :]) & 1).astype(jnp.int8)
+    qs_hi = jnp.arange(n - lb, dtype=blocks.dtype)
+    hi_bits = ((blocks[:, None] >> qs_hi[None, :]) & 1).astype(jnp.int8)
+    return jnp.concatenate([lo_bits, hi_bits], axis=1)
+
+
 def _shard_ctx(mesh, n):
     from jax.sharding import PartitionSpec as P
 

@@ -41,6 +41,44 @@ def _apply_nonlocal_phase(shard, step: Step, k: int, axis_name: str):
     return shard
 
 
+def _apply_nonlocal_phase_planar(re, im, step: Step, k: int, axis_name: str,
+                                 dtype, inplace: bool):
+    """Cross-shard phase on f32 planes.
+
+    Boundary-reshard SWAPs are pure index permutations, so they run on
+    each plane directly (two f32 ``all_to_all``s ship the same bytes as
+    one complex one — no conversion pass).  Generic exchanges use the
+    complex XOR-offset path; at capacity (``inplace``) that conversion
+    would double the shard footprint, so it is rejected at trace time —
+    staged circuits only cross the boundary through SWAPs.
+    """
+    from ..ops import pallas_kernels as pk
+
+    pairs, rest = plan_boundary_reshard(step.nonlocal_ops, k)
+    if pairs:
+        re = swap_device_bits(re, axis_name, k, pairs)
+        if inplace:
+            re, im = jax.lax.optimization_barrier((re, im))
+        im = swap_device_bits(im, axis_name, k, pairs)
+    if rest:
+        from ..runtime.simulator import _capacity_guard_min
+
+        if inplace and re.size >= _capacity_guard_min():
+            names = [getattr(op, "name", "?") for op in rest]
+            raise ValueError(
+                f"capacity mode: non-SWAP cross-shard gates {names} need the "
+                f"complex exchange path, which materializes a second copy of "
+                f"the shard (2x memory) and does not fit at n >= 29 shard "
+                f"sizes. Enable staging (use_staging=True) so cross-shard "
+                f"traffic collapses into boundary SWAP reshards."
+            )
+        c = pk.from_planar(re, im, dtype)
+        for op in rest:
+            c = exchange.apply_nonlocal(c, axis_name, k, op.qubits, op.U)
+        re, im = pk.to_planar(c)
+    return re, im
+
+
 def _steps_body(steps: list[Step], k: int, axis_name: str):
     def body(shard):
         shard = shard.reshape(-1)
@@ -52,15 +90,24 @@ def _steps_body(steps: list[Step], k: int, axis_name: str):
 
 
 def _window_steps_body(steps: list[Step], k: int, axis_name: str,
-                       interpret: bool):
+                       interpret: bool, *, inplace: bool = False,
+                       planar_io: bool = False, dtype=jnp.complex64):
     """Shard body running each step's local ops through the planar
     Pallas window panels (the single-chip flagship path, 530-548 GB/s
     measured vs 310 GB/s for the XLA panel matmul) inside shard_map.
 
     Local gates are window-scheduled over the k shard-local qubits at
-    trace time; cross-shard phases run on the complex representation
-    (the planar<->complex conversions are elementwise and fuse into the
+    trace time; boundary-reshard SWAPs run per plane, generic
+    cross-shard phases on the complex representation (the
+    planar<->complex conversions are elementwise and fuse into the
     neighbouring passes).
+
+    ``inplace`` (sharded capacity, e.g. 2^30-amplitude shards at 34q on
+    a 16-chip pod): every Pallas pass aliases in->out and an
+    optimization barrier pins one op at a time, so a shard never needs
+    a second copy of itself in HBM.  ``planar_io`` makes the body take
+    and return (re, im) f32 planes — required at capacity, where the
+    complex form never exists.
     """
     from ..circuit.panelize import compile_window_ops
     from ..ops import pallas_kernels as pk
@@ -70,8 +117,8 @@ def _window_steps_body(steps: list[Step], k: int, axis_name: str,
     # kernel makes unbounded merged diag runs cost one pass each, so
     # shard-local phase sweeps merge too (QST_DIAG_TERMS_ONLY=0 reverts).
     import os as _os
-    terms_only = (k >= 10 and
-                  _os.environ.get("QST_DIAG_TERMS_ONLY", "1") == "1")
+    terms_only = inplace or (
+        k >= 10 and _os.environ.get("QST_DIAG_TERMS_ONLY", "1") == "1")
     win_ops = [
         pair_panel_diag(compile_window_ops(
             [(op.qubits, op.U, getattr(op, "name", "panel"))
@@ -82,37 +129,54 @@ def _window_steps_body(steps: list[Step], k: int, axis_name: str,
         for s in steps
     ]
 
-    def body(shard):
-        shard = shard.reshape(-1)
-        dtype = shard.dtype
-        re, im = pk.to_planar(shard)
+    def run_steps(re, im, dt):
         for step, wops in zip(steps, win_ops):
             for op, dterms in wops:
-                re, im = apply_window_op(re, im, op, dtype, interpret,
-                                         diag_terms=dterms)
+                re, im = apply_window_op(re, im, op, dt, interpret,
+                                         inplace, diag_terms=dterms)
+                if inplace:
+                    re, im = jax.lax.optimization_barrier((re, im))
             if step.nonlocal_ops:
-                c = _apply_nonlocal_phase(
-                    pk.from_planar(re, im, dtype), step, k, axis_name)
-                re, im = pk.to_planar(c)
-        return pk.from_planar(re, im, dtype)
+                re, im = _apply_nonlocal_phase_planar(
+                    re, im, step, k, axis_name, dt, inplace)
+        return re, im
+
+    if planar_io:
+        def body(re, im):
+            re, im = run_steps(re.reshape(-1), im.reshape(-1), dtype)
+            return re, im
+    else:
+        def body(shard):
+            shard = shard.reshape(-1)
+            re, im = pk.to_planar(shard)
+            re, im = run_steps(re, im, shard.dtype)
+            return pk.from_planar(re, im, shard.dtype)
 
     return body
 
 
 def build_steps_fn(mesh: Mesh, n: int, steps: list[Step], *,
                    donate: bool = True, mode: str = "fused",
-                   interpret: bool | None = None):
+                   interpret: bool | None = None, inplace: bool = False,
+                   planar_io: bool = False, dtype=jnp.complex64):
     """jitted fn(psi_global) applying `steps` to the sharded state.
 
     ``mode='window'`` runs each shard's local ops through the planar
     Pallas window panels (``interpret`` defaults to True off-TPU so the
-    virtual CPU mesh can execute the kernels).
+    virtual CPU mesh can execute the kernels).  ``planar_io`` (window
+    only) makes the fn take/return (re, im) f32 plane arrays instead of
+    a complex vector; ``inplace`` aliases every kernel pass in->out
+    (the capacity tier — shards too big for a second HBM copy).
     """
     k = shard_width(mesh, n)
+    if planar_io and mode != "window":
+        raise ValueError("planar_io requires mode='window'")
     if mode == "window":
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
-        body = _window_steps_body(steps, k, AXIS, interpret)
+        body = _window_steps_body(steps, k, AXIS, interpret,
+                                  inplace=inplace, planar_io=planar_io,
+                                  dtype=dtype)
     else:
         body = _steps_body(steps, k, AXIS)
     if mesh.size == 1:
@@ -122,12 +186,14 @@ def build_steps_fn(mesh: Mesh, n: int, steps: list[Step], *,
         # check_vma=False: pallas_call outputs don't carry varying-
         # across-mesh annotations, and every op here is manifestly
         # per-shard (collectives are explicit ppermute/all_to_all).
+        specs = (P(AXIS), P(AXIS)) if planar_io else P(AXIS)
         run = shard_map(
-            body, mesh=mesh, in_specs=P(AXIS), out_specs=P(AXIS),
+            body, mesh=mesh, in_specs=specs, out_specs=specs,
             check_vma=(mode != "window"),
         )
 
-    return jax.jit(run, donate_argnums=(0,) if donate else ())
+    donate_args = ((0, 1) if planar_io else (0,)) if donate else ()
+    return jax.jit(run, donate_argnums=donate_args)
 
 
 _CACHE: dict = {}
@@ -143,6 +209,9 @@ def build_circuit_fns(
     donate: bool = True,
     mode: str = "fused",
     interpret: bool | None = None,
+    inplace: bool = False,
+    planar_io: bool = False,
+    dtype=jnp.complex64,
 ):
     """Compile a circuit for the mesh.
 
@@ -150,7 +219,8 @@ def build_circuit_fns(
     whole-circuit function (per_step=False) or one jitted function per
     step (per_step=True — the WAL/checkpoint runner's granularity).
     ``mode='window'`` uses the planar Pallas window path for each
-    shard's local ops (the fast single-chip kernels, now sharded).
+    shard's local ops (the fast single-chip kernels, now sharded);
+    ``planar_io``/``inplace`` as in :func:`build_steps_fn`.
     """
     cd = validate_circuit_dict(circuit_dict)
     n = cd["number_of_qubits"]
@@ -162,18 +232,19 @@ def build_circuit_fns(
     mesh_key = (tuple(d.id for d in mesh.devices.flat), mesh.axis_names)
     key = (
         circuit_hash(cd), mesh_key, use_fusion, panel_width, per_step,
-        donate, mode, interpret,
+        donate, mode, interpret, inplace, planar_io,
+        jnp.dtype(dtype).name,
     )
     hit = _CACHE.get(key)
     if hit is not None:
         return hit
     steps = compile_steps(cd, k=k, use_fusion=use_fusion, panel_width=panel_width)
+    kw = dict(donate=donate, mode=mode, interpret=interpret,
+              inplace=inplace, planar_io=planar_io, dtype=dtype)
     if per_step:
-        fns = [build_steps_fn(mesh, n, [s], donate=donate, mode=mode,
-                              interpret=interpret) for s in steps]
+        fns = [build_steps_fn(mesh, n, [s], **kw) for s in steps]
     else:
-        fns = build_steps_fn(mesh, n, steps, donate=donate, mode=mode,
-                             interpret=interpret)
+        fns = build_steps_fn(mesh, n, steps, **kw)
     _CACHE[key] = (steps, fns)
     return steps, fns
 

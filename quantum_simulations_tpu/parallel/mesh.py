@@ -72,3 +72,36 @@ def put_state(mesh: Mesh, psi, dtype=jnp.complex64) -> jax.Array:
 
     arr = np.asarray(psi).astype(jnp.dtype(dtype).name)
     return upload_array(arr, sharding=state_sharding(mesh))
+
+
+def zero_state_planar_sharded(mesh: Mesh, n: int, fdtype=jnp.float32):
+    """|0...0> as sharded (re, im) f32 planes — no complex form.
+
+    The capacity tier's init: at n >= 29 a complex64 vector would cost
+    2x the plane footprint, so the state is born planar (cf.
+    ``ops.dense.zero_state_planar`` for the single-buffer form).
+    """
+    sharding = state_sharding(mesh)
+
+    @jax.jit
+    def init():
+        re = jnp.zeros(1 << n, dtype=fdtype).at[0].set(1.0)
+        im = jnp.zeros(1 << n, dtype=fdtype)
+        return (lax_with_sharding(re, sharding),
+                lax_with_sharding(im, sharding))
+
+    return init()
+
+
+def put_state_planar(mesh: Mesh, planes, fdtype=jnp.float32):
+    """Device-put host (2, 2^n) f32 planes (or a complex vector) as a
+    sharded (re, im) pair — the runner's planar resume path."""
+    from ..utils.transfer import upload_array
+
+    arr = np.asarray(planes)
+    if arr.ndim == 1:  # complex vector: split on host
+        arr = np.stack([arr.real, arr.imag])
+    arr = arr.astype(jnp.dtype(fdtype).name)
+    sharding = state_sharding(mesh)
+    return (upload_array(arr[0], sharding=sharding),
+            upload_array(arr[1], sharding=sharding))

@@ -41,10 +41,19 @@ def _buf_path(work_dir: Path, name: str) -> Path:
 
 
 def _save_state(work_dir: Path, name: str, psi) -> str:
-    """Write a state buffer atomically; returns its sha256 hex digest."""
+    """Write a state buffer atomically; returns its sha256 hex digest.
+
+    ``psi`` is either a (possibly sharded) complex vector or an
+    (re, im) plane pair — planar checkpoints are stored as one
+    (2, 2^n) float array (f32 transfers work on restricted backends
+    where complex fetches don't; see utils/transfer.py).
+    """
     from ..utils.transfer import fetch_array
 
-    host = fetch_array(psi)
+    if isinstance(psi, tuple):
+        host = np.stack([fetch_array(psi[0]), fetch_array(psi[1])])
+    else:
+        host = fetch_array(psi)
     import io
 
     bio = io.BytesIO()
@@ -70,12 +79,20 @@ def _load_state(work_dir: Path, name: str) -> np.ndarray:
     return np.load(_buf_path(work_dir, name), allow_pickle=False)
 
 
+def jax_block_until_ready(psi) -> None:
+    """block_until_ready for arrays and (re, im) plane tuples alike."""
+    import jax
+
+    jax.block_until_ready(psi)
+
+
 def run(
     circuit_dict: dict,
     work_dir,
     *,
     mesh=None,
     dtype="complex64",
+    mode: str = "fused",
     use_wal: bool = True,
     use_fencing: bool = False,
     use_fusion: bool = True,
@@ -91,6 +108,19 @@ def run(
     The final state is in the buffer named by the WAL's
     ``committed_buf`` (read it back with :func:`collect_state`, which
     also undoes the staging qubit permutation when staging was used).
+
+    ``mode`` selects the execution kernels under the WAL, like the
+    reference's runner taking its kernel as a parameter
+    (``wenbo_engine/runner/single_node.py:78-88``):
+
+    * ``'fused'``    — per-gate traced XLA program (default);
+    * ``'window'``   — the flagship planar Pallas window kernels; the
+      state lives as (re, im) f32 planes between steps (no per-step
+      complex<->planar retile) and checkpoints are written from the
+      planes;
+    * ``'capacity'`` — window kernels with ``input_output_aliases`` on
+      every pass (the n >= 29 single-copy tier) — durability at the
+      capacity ceiling.
 
     ``staging_method='auto'`` schedules with the heuristic reorderer
     and keeps the staged circuit only if it actually reduces exchange
@@ -130,23 +160,34 @@ def run(
         lock.acquire()
     try:
         return _run_inner(
-            cd, work_dir, mesh, dtype, use_wal, use_fusion, panel_width,
-            checkpoint_every, resume, event_log,
+            cd, work_dir, mesh, dtype, mode, use_wal, use_fusion,
+            panel_width, checkpoint_every, resume, event_log,
         )
     finally:
         if lock:
             lock.release()
 
 
-def _run_inner(cd, work_dir, mesh, dtype, use_wal, use_fusion, panel_width,
-               checkpoint_every, resume, event_log=None):
+def _run_inner(cd, work_dir, mesh, dtype, mode, use_wal, use_fusion,
+               panel_width, checkpoint_every, resume, event_log=None):
     from .metadata import MetadataStore
+
+    if mode not in ("fused", "window", "capacity"):
+        raise ValueError(f"runner mode must be fused|window|capacity, "
+                         f"got {mode!r}")
+    # Window/capacity hold the state as f32 planes BETWEEN steps too:
+    # per-step complex<->planar retiles cost ~2.5 HBM passes each
+    # (bench/overhead.py), and planar checkpoints fetch as f32.
+    planar = mode in ("window", "capacity")
+    inplace = mode == "capacity"
 
     events = EventLog(event_log or (work_dir / "events.jsonl"))
     with timing.timer("runner.compile"):
         steps, fns = E.build_circuit_fns(
             mesh, cd, use_fusion=use_fusion, panel_width=panel_width,
-            per_step=True, donate=False,
+            per_step=True, donate=True,
+            mode="window" if planar else "fused",
+            inplace=inplace, planar_io=planar, dtype=dtype,
         )
     n = cd["number_of_qubits"]
 
@@ -168,8 +209,8 @@ def _run_inner(cd, work_dir, mesh, dtype, use_wal, use_fusion, panel_width,
                 mesh=int(mesh.size), resumed=bool(prior and resume))
 
     plan_sig = (
-        f"mesh={mesh.size},fusion={use_fusion},panel={panel_width},"
-        f"steps={len(steps)}"
+        f"mesh={mesh.size},mode={mode},fusion={use_fusion},"
+        f"panel={panel_width},steps={len(steps)}"
     )
     wal = WAL(work_dir / "wal.json", cd, plan=plan_sig) if use_wal else None
     if wal and not resume:
@@ -187,10 +228,19 @@ def _run_inner(cd, work_dir, mesh, dtype, use_wal, use_fusion, panel_width,
         ck = meta.latest_checkpoint(run_id)
         if ck and ck["path"] == wal.committed_buf:
             _verify_buffer(work_dir, wal.committed_buf, ck["sha256"])
-        psi = M.put_state(mesh, _load_state(work_dir, wal.committed_buf), dtype)
+        saved = _load_state(work_dir, wal.committed_buf)
+        if planar:
+            psi = M.put_state_planar(mesh, saved)
+        else:
+            if saved.ndim == 2:  # planar checkpoint, complex resume
+                saved = saved[0] + 1j * saved[1]
+            psi = M.put_state(mesh, saved, dtype)
         cur_buf = wal.committed_buf
     else:
-        psi = M.zero_state_sharded(mesh, n, dtype)
+        if planar:
+            psi = M.zero_state_planar_sharded(mesh, n)
+        else:
+            psi = M.zero_state_sharded(mesh, n, dtype)
         start_step = 0
         cur_buf = "b"  # first write goes to "a"
 
@@ -208,6 +258,8 @@ def _run_inner(cd, work_dir, mesh, dtype, use_wal, use_fusion, panel_width,
     atomic_write_json(work_dir / "manifest.json", {
         "n_qubits": n,
         "dtype": str(np.dtype(dtype)),
+        "mode": mode,
+        "state_format": "planar" if planar else "complex",
         "n_steps": len(steps),
         "circuit_hash": circuit_hash(cd),
         "mesh_devices": int(mesh.size),
@@ -215,7 +267,7 @@ def _run_inner(cd, work_dir, mesh, dtype, use_wal, use_fusion, panel_width,
 
     for step_idx in range(start_step, len(steps)):
         with timing.timer("runner.step"):
-            psi = fns[step_idx](psi)
+            psi = fns[step_idx](*psi) if planar else fns[step_idx](psi)
         last = step_idx == len(steps) - 1
         if not (use_wal or last):
             continue
@@ -223,7 +275,7 @@ def _run_inner(cd, work_dir, mesh, dtype, use_wal, use_fusion, panel_width,
             continue
         dst = "a" if cur_buf == "b" else "b"
         meta.wal_pending(run_id, step_idx)
-        psi.block_until_ready()
+        jax_block_until_ready(psi)
         with timing.timer("runner.checkpoint"):
             sha = _save_state(work_dir, dst, psi)
         if crash_after >= 0 and step_idx >= crash_after:
@@ -268,6 +320,8 @@ def collect_state(work_dir, *, apply_permutation: bool = True) -> np.ndarray:
     else:
         buf = json.loads((work_dir / "result.json").read_text())["committed_buf"]
     psi = _load_state(work_dir, buf)
+    if psi.ndim == 2:  # planar (window/capacity) checkpoint: (2, 2^n) f32
+        psi = (psi[0] + 1j * psi[1]).astype(np.complex64)
     mapping_path = work_dir / "qubit_mapping.json"
     if apply_permutation and mapping_path.exists():
         l2p = json.loads(mapping_path.read_text()).get("log2phys")

@@ -236,8 +236,12 @@ def apply_window_op(re, im, op, dtype, interpret, inplace=False,
             return re, im
         return apply_multiswap_planar(re, im, op.pairs)
     if isinstance(op, DiagOp):
+        if op.terms is not None and re.size < 8 * 128:
+            # Below the Pallas (8, 128) block minimum (tests / tiny
+            # shards): exact elementwise terms evaluation, any mode.
+            return dense.apply_diag_terms_planar(re, im, op.terms)
         if inplace:
-            if op.terms is not None and re.size >= 8 * 128:
+            if op.terms is not None:
                 # ONE aliased pass with in-kernel phase computation
                 # (the XLA shear path costs 3-4 full HBM passes and
                 # its layout-safe classes fragment the merge).
@@ -300,8 +304,33 @@ def apply_window_op(re, im, op, dtype, interpret, inplace=False,
     planar = dense.apply_gate_planar(re, im, op.qubits, op.U)
     if planar is not None:
         return planar
+    if inplace and re.size >= _capacity_guard_min():
+        # Capacity tier (n >= 29): the complex mixed path materializes
+        # a full second copy of the state (from_planar -> apply_gate ->
+        # to_planar peaks at 4x plane footprint = 16 GiB at n=30) and
+        # would OOM the chip.  Raised at trace time so the user gets a
+        # clear error instead of an XLA allocation failure.  (Below the
+        # threshold — tests, tiny shards — the fallback is memory-safe
+        # and allowed; QST_CAPACITY_GUARD_MIN overrides.)
+        name = getattr(op, "name", None) or f"{len(op.qubits)}q unitary"
+        raise ValueError(
+            f"capacity mode: gate {name} on qubits {tuple(op.qubits)} has "
+            f"no in-place planar kernel (non-diagonal {len(op.qubits)}-qubit "
+            f"gate straddling the lane window). Decompose it into 1q/2q "
+            f"gates (e.g. CCX -> H/T/CNOT) or run below n=29 where the "
+            f"complex fallback fits."
+        )
     c = dense.apply_gate(pk.from_planar(re, im, dtype), op.qubits, op.U)
     return pk.to_planar(c)
+
+
+def _capacity_guard_min() -> int:
+    """State size (amplitudes) above which capacity mode REFUSES the
+    complex fallback path instead of risking an OOM.  2^27 f32 planes
+    = 1 GiB; the 4x-peak fallback is safe below that on any real chip."""
+    import os as _os
+
+    return int(_os.environ.get("QST_CAPACITY_GUARD_MIN", str(1 << 27)))
 
 
 def pair_panel_diag(ops, enabled: bool | None = None):

@@ -16,7 +16,12 @@ from pathlib import Path
 class SimulatorConfig:
     # Execution
     dtype: str = "complex64"
-    mode: str = "fused"              # 'fused' | 'panel'
+    # 'fused'    per-gate traced XLA program (default)
+    # 'panel'    rotating-panel MXU schedule (fast compile, deep circuits)
+    # 'window'   planar Pallas window kernels (the flagship fast path)
+    # 'capacity' window kernels, in-place planar (single-copy n >= 29 tier)
+    # 'auto'     window when panels dominate, capacity at n >= 29
+    mode: str = "fused"
     use_fusion: bool = True
     panel_width: int | None = 7
     n_devices: int | None = None     # mesh size (None = all available)

@@ -26,7 +26,8 @@ from quantum_simulations_tpu.runtime.wal import (
 REPO = Path(__file__).resolve().parent.parent
 
 
-def _run_subprocess(cd, work_dir, crash_after=None, extra=""):
+def _run_subprocess(cd, work_dir, crash_after=None, extra="",
+                    mode="fused", dtype="complex128"):
     """Run the runner in a fresh process (real crash isolation)."""
     script = textwrap.dedent(f"""
         import os, sys, json
@@ -40,7 +41,7 @@ def _run_subprocess(cd, work_dir, crash_after=None, extra=""):
         {extra}
         # use_fusion=False => one step per level, so there are several
         # WAL commits to crash between.
-        runner.run(cd, {str(work_dir)!r}, dtype="complex128",
+        runner.run(cd, {str(work_dir)!r}, dtype={dtype!r}, mode={mode!r},
                    checkpoint_every=1, use_fusion=False)
         print("COMPLETED")
     """)
@@ -159,6 +160,56 @@ def test_sharded_runner(tmp_path, cd):
     runner.run(cd, tmp_path, mesh=mesh, dtype="complex128")
     np.testing.assert_allclose(
         runner.collect_state(tmp_path), oracle.simulate(cd), atol=1e-10
+    )
+
+
+# ---------------------------------------------------------------------------
+# Flagship-kernel modes under WAL (the runner takes the kernel as a
+# parameter, like wenbo_engine/runner/single_node.py:78-88)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("mode", ["window", "capacity"])
+def test_runner_mode_vs_oracle(tmp_path, mode):
+    cd = lib.qft(6)
+    runner.run(cd, tmp_path, mode=mode, use_fusion=False)
+    got = runner.collect_state(tmp_path)
+    np.testing.assert_allclose(got, oracle.simulate(cd), atol=2e-5)
+    manifest = json.loads((tmp_path / "manifest.json").read_text())
+    assert manifest["mode"] == mode
+    assert manifest["state_format"] == "planar"
+    # Planar checkpoints are stored as (2, 2^n) float planes — the form
+    # whose fetches work on restricted transfer backends.
+    wal = json.loads((tmp_path / "wal.json").read_text())
+    buf = np.load(tmp_path / f"state_{wal['committed_buf']}.npy")
+    assert buf.ndim == 2 and buf.shape[0] == 2
+    assert buf.dtype.kind == "f"
+
+
+@pytest.mark.parametrize("mode", ["window", "capacity"])
+def test_crash_recover_in_window_modes(tmp_path, mode):
+    """Real subprocess kill mid-run, then resume — on the FAST path."""
+    cd = lib.ghz(6)
+    res = _run_subprocess(cd, tmp_path, crash_after=1, mode=mode,
+                          dtype="complex64")
+    assert res.returncode == 1, res.stderr
+    assert "COMPLETED" not in res.stdout
+    wal = json.loads((tmp_path / "wal.json").read_text())
+    assert wal["done_steps"] <= 2
+
+    res = _run_subprocess(cd, tmp_path, mode=mode, dtype="complex64")
+    assert res.returncode == 0, res.stderr
+    got = runner.collect_state(tmp_path)
+    np.testing.assert_allclose(got, oracle.simulate(cd), atol=2e-5)
+
+
+def test_sharded_runner_window_mode(tmp_path):
+    from quantum_simulations_tpu.parallel import mesh as M
+
+    cd = lib.qft(6)
+    mesh = M.make_mesh(4)
+    runner.run(cd, tmp_path, mesh=mesh, mode="window", dtype="complex64")
+    np.testing.assert_allclose(
+        runner.collect_state(tmp_path), oracle.simulate(cd), atol=2e-5
     )
 
 
