@@ -20,11 +20,14 @@ only the TOP bits cross DCN.  The staging scheduler consumes
 :func:`device_bit_costs` to prefer SWAP/reshard plans that keep
 traffic off DCN (SURVEY hard-part: mesh-aware transition cost).
 
-Cannot be exercised end-to-end in a single-host image; the code path
-is validated by a subprocess test that bootstraps a 1-process
-"cluster" (tests/test_distributed.py), mirroring the reference's
-no-cluster Spark testing stance
-(wenbo_engine/tests/test_spark_runner_small.py:27-44).
+Validated without TPU-pod hardware by a REAL two-process cluster:
+``tests/test_multiprocess_dcn.py`` rendezvouses two OS processes (4
+virtual CPU devices each) through this module, builds the 8-device
+pod mesh, and runs cross-process collectives (ppermute, all_to_all,
+psum) over Gloo — the same PJRT cross-process path a multi-host pod
+takes over DCN.  (Mirrors the reference's local[2] Spark stance,
+``wenbo_engine/tests/test_spark_runner_small.py:27-44``, but with
+actual process boundaries.)
 """
 from __future__ import annotations
 
