@@ -72,7 +72,7 @@ def main(argv=None) -> int:
     p_bench = sub.add_parser("bench")
     p_bench.add_argument("which", choices=[
         "kernel_bw", "e2e", "sweep", "suite", "spill_bw",
-        "baseline_configs", "capacity", "matrix"])
+        "baseline_configs", "capacity", "matrix", "projection"])
 
     args = ap.parse_args(argv)
 

@@ -676,7 +676,7 @@ def apply_gate_planar(re, im, qubits: tuple[int, ...], U: np.ndarray,
         o_im = (xr * Pi if Pi is not None else 0) + xi * Pr
         return o_re.reshape(re.size), o_im.reshape(im.size)
 
-    if all(q >= lane for q in qubits) and m <= 2:
+    if m == 1 or (all(q >= lane for q in qubits) and m == 2):
         fdt = np.dtype(re.dtype)
 
         def cmul_acc(acc, xr, xi, Cnp):
@@ -697,6 +697,9 @@ def apply_gate_planar(re, im, qubits: tuple[int, ...], U: np.ndarray,
             return (ar, ai)
 
         if m == 1:
+            # Any qubit position: the (R, 2, C) strided-plane lincomb is
+            # valid for sub-lane strides too (slower flips, but callers
+            # only reach here for gates outside every panel/kernel).
             q = qubits[0]
             C = 1 << q
             R = re.size >> (q + 1)

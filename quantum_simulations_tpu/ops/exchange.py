@@ -220,6 +220,28 @@ def apply_nonlocal(
     return acc
 
 
+def zero_offset_block(U: np.ndarray, qubits: tuple[int, ...], k: int,
+                      a: int) -> np.ndarray:
+    """W_0 for device-bit value pattern ``a``: the (2^p, 2^p) block of
+    U coupling local sub-indices when every device-bit qubit keeps its
+    value.  For a zero-traffic gate (only offset x=0 nonzero — device
+    bits insular) this IS the whole local update for a device whose
+    bit pattern is ``a`` (bit t of ``a`` = value of ``dev_pos[t]``,
+    most significant first — matching ``apply_nonlocal``'s tables).
+    """
+    U = np.asarray(U, dtype=np.complex128)
+    m = len(qubits)
+    dev_pos = [j for j, q in enumerate(qubits) if q >= k]
+    loc_pos = [j for j, q in enumerate(qubits) if q < k]
+    r, p = len(dev_pos), len(loc_pos)
+    base = sum(((a >> (r - 1 - t)) & 1) << (m - 1 - j)
+               for t, j in enumerate(dev_pos))
+    off = [sum(((lo >> (p - 1 - t)) & 1) << (m - 1 - j)
+               for t, j in enumerate(loc_pos)) for lo in range(1 << p)]
+    idx = np.asarray([base + o for o in off])
+    return U[np.ix_(idx, idx)]
+
+
 # ---------------------------------------------------------------------------
 # Traffic accounting (scheduler cost model / stats)
 # ---------------------------------------------------------------------------

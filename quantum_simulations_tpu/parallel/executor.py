@@ -47,10 +47,15 @@ def _apply_nonlocal_phase_planar(re, im, step: Step, k: int, axis_name: str,
 
     Boundary-reshard SWAPs are pure index permutations, so they run on
     each plane directly (two f32 ``all_to_all``s ship the same bytes as
-    one complex one — no conversion pass).  Generic exchanges use the
-    complex XOR-offset path; at capacity (``inplace``) that conversion
-    would double the shard footprint, so it is rejected at trace time —
-    staged circuits only cross the boundary through SWAPs.
+    one complex one — no conversion pass).  ZERO-TRAFFIC gates (device
+    bits insular — diagonal gates and device-bit controls, everything
+    staging leaves above the boundary) apply their W_0 block on the
+    planes, dispatched by this device's bit values via ``lax.switch``
+    (one branch executes — no 2^r variant materialization).  Only
+    genuinely exchanging gates use the complex XOR-offset path; at
+    capacity (``inplace``) that conversion would double the shard
+    footprint, so it is rejected at trace time — staged circuits never
+    hit it.
     """
     from ..ops import pallas_kernels as pk
 
@@ -60,23 +65,107 @@ def _apply_nonlocal_phase_planar(re, im, step: Step, k: int, axis_name: str,
         if inplace:
             re, im = jax.lax.optimization_barrier((re, im))
         im = swap_device_bits(im, axis_name, k, pairs)
-    if rest:
-        from ..runtime.simulator import _capacity_guard_min
-
-        if inplace and re.size >= _capacity_guard_min():
-            names = [getattr(op, "name", "?") for op in rest]
-            raise ValueError(
-                f"capacity mode: non-SWAP cross-shard gates {names} need the "
-                f"complex exchange path, which materializes a second copy of "
-                f"the shard (2x memory) and does not fit at n >= 29 shard "
-                f"sizes. Enable staging (use_staging=True) so cross-shard "
-                f"traffic collapses into boundary SWAP reshards."
-            )
-        c = pk.from_planar(re, im, dtype)
-        for op in rest:
-            c = exchange.apply_nonlocal(c, axis_name, k, op.qubits, op.U)
-        re, im = pk.to_planar(c)
+    exchanging = []
+    for op in rest:
+        if exchange.exchange_cost(np.asarray(op.U), tuple(op.qubits), k) == 0:
+            if exchanging:  # keep program order within the step's level
+                re, im = _planar_exchange(re, im, exchanging, k, axis_name,
+                                          dtype, inplace)
+                exchanging = []
+            re, im = _planar_zero_traffic(re, im, op, k, axis_name, inplace)
+            if inplace:
+                re, im = jax.lax.optimization_barrier((re, im))
+        else:
+            exchanging.append(op)
+    if exchanging:
+        re, im = _planar_exchange(re, im, exchanging, k, axis_name, dtype,
+                                  inplace)
     return re, im
+
+
+def _planar_exchange(re, im, ops, k, axis_name, dtype, inplace):
+    """Genuinely-exchanging gates: complex XOR-offset path (guarded)."""
+    from ..ops import pallas_kernels as pk
+    from ..runtime.simulator import _capacity_guard_min
+
+    if inplace and re.size >= _capacity_guard_min():
+        names = [getattr(op, "name", "?") for op in ops]
+        raise ValueError(
+            f"capacity mode: non-SWAP cross-shard gates {names} need the "
+            f"complex exchange path, which materializes a second copy of "
+            f"the shard (2x memory) and does not fit at n >= 29 shard "
+            f"sizes. Enable staging (use_staging=True) so cross-shard "
+            f"traffic collapses into boundary SWAP reshards."
+        )
+    c = pk.from_planar(re, im, dtype)
+    for op in ops:
+        c = exchange.apply_nonlocal(c, axis_name, k, op.qubits, op.U)
+    return pk.to_planar(c)
+
+
+def _planar_zero_traffic(re, im, op, k, axis_name, inplace):
+    """Apply a zero-traffic cross-shard gate directly on f32 planes.
+
+    The gate's device-bit qubits are insular (never flipped), so the
+    local update is the W_0 sub-block selected by this device's bit
+    values: ``lax.switch`` over the 2^r constant blocks, each branch a
+    planar application (scalar phase when no local qubits).  This is
+    the runtime half of the insular relaxation (the reference only
+    schedules around it, ``wenbo_engine/circuit/staging.py:65-98``) —
+    on the capacity tier it keeps T/CZ/CR/controls on device bits from
+    ever forcing a complex conversion.
+    """
+    from jax import lax
+
+    from ..ops import dense
+    from ..runtime.simulator import _capacity_guard_min
+
+    U = np.asarray(op.U, dtype=np.complex128)
+    qubits = tuple(op.qubits)
+    dev = [q for q in qubits if q >= k]
+    loc = tuple(q for q in qubits if q < k)
+    r = len(dev)
+
+    a_scalar = sum(
+        (((lax.axis_index(axis_name) >> (q - k)) & 1) * (1 << (r - 1 - t))
+         for t, q in enumerate(dev)),
+        start=jnp.int32(0),
+    )
+
+    def make_branch(a: int):
+        W = exchange.zero_offset_block(U, qubits, k, a)
+
+        def branch(planes):
+            pre, pim = planes
+            if not loc:
+                c = complex(W[0, 0])
+                if c == 1.0:
+                    return pre, pim
+                cr = np.float32(c.real) if pre.dtype == jnp.float32 \
+                    else np.float64(c.real)
+                ci = np.float32(c.imag) if pre.dtype == jnp.float32 \
+                    else np.float64(c.imag)
+                if c.imag == 0.0:
+                    return cr * pre, cr * pim
+                return cr * pre - ci * pim, ci * pre + cr * pim
+            out = dense.apply_gate_planar(pre, pim, loc, W)
+            if out is not None:
+                return out
+            if inplace and pre.size >= _capacity_guard_min():
+                raise ValueError(
+                    f"capacity mode: zero-traffic gate "
+                    f"{getattr(op, 'name', '?')} on {qubits} has a local "
+                    f"block with no planar path; decompose the gate.")
+            from ..ops import pallas_kernels as pk
+
+            c64 = dense.apply_gate(
+                pk.from_planar(pre, pim, jnp.complex64), loc, W)
+            return pk.to_planar(c64)
+
+        return branch
+
+    return lax.switch(a_scalar, [make_branch(a) for a in range(1 << r)],
+                      (re, im))
 
 
 def _steps_body(steps: list[Step], k: int, axis_name: str):

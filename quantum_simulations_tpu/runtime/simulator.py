@@ -247,6 +247,11 @@ def apply_window_op(re, im, op, dtype, interpret, inplace=False,
                 # its layout-safe classes fragment the merge).
                 return pk.fused_diag_planar(
                     re, im, op.terms, interpret=interpret, inplace=True)
+            if re.size < 8 * 128:
+                # Tiny shards (virtual-mesh tests): the shear's
+                # (A, 8, 128) views degenerate; broadcast is exact and
+                # memory is irrelevant at this size.
+                return dense.apply_diag_planar(re, im, op.qubits, op.d)
             # The direct broadcast keeps 4 planes live (16 GiB at
             # n=30); the exact three-shear form peaks at 3.
             return dense.apply_diag_planar_shear(re, im, op.qubits, op.d)
@@ -267,7 +272,8 @@ def apply_window_op(re, im, op, dtype, interpret, inplace=False,
                 op.qubits, np.diag(np.asarray(op.U))).items())
             return pk.fused_diag_planar(
                 re, im, terms, interpret=interpret, inplace=True)
-        return dense.apply_diag_planar_shear(
+        # Tiny shards: broadcast (the shear's views degenerate < 8*128).
+        return dense.apply_diag_planar(
             re, im, op.qubits, np.diag(np.asarray(op.U)))
     if len(op.qubits) == 2 and not G.is_diagonal(op.U):
         qa, qb = op.qubits

@@ -53,6 +53,26 @@ samp = jax.jit(
 low2 = samp.lower(psi, jax.ShapeDtypeStruct((2,), jnp.uint32))
 shots_shape = low2.out_info.shape
 assert shots_shape == (1024, N), shots_shape
+
+# Sharded CAPACITY form: planar i/o + input_output_aliases on every
+# kernel pass, donated planes — the single-copy configuration a real
+# 34q run needs (2^30-amp shard = 8 GiB of planes next to a 16 GiB
+# budget leaves no room for a second copy).  At capacity the circuit
+# must be STAGED (generic cross-shard exchanges would need a complex
+# copy and are refused); stage transitions lower to per-plane
+# all_to_all reshards.  The lowered module must carry the plane
+# donation as an input/output alias.
+from quantum_simulations_tpu.circuit import staging as S
+staged, _, _ = S.stage_circuit(cd, k, "heuristic")
+steps_cap = compile_steps(staged, k=k, panel_width=None)
+fn_cap = E.build_steps_fn(mesh, N, steps_cap, mode="window",
+                          interpret=True, inplace=True, planar_io=True)
+plane = jax.ShapeDtypeStruct((1 << N,), jnp.float32, sharding=sharding)
+low3 = fn_cap.lower(plane, plane)
+txt3 = low3.as_text()
+assert "num_partitions = 16" in txt3 or "num_partitions=16" in txt3
+assert ("input_output_alias" in txt3 or "tf.aliasing_output" in txt3
+        or "jax.buffer_donor" in txt3), txt3[:600]
 print("POD_LOWERING_OK", len(txt))
 """
 
