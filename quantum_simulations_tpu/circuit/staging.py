@@ -117,21 +117,56 @@ def _score_qubits(gates, pending, window, gamma):
     return scores
 
 
-def _emit_swaps(qm: QubitMap, want_local: list[int], k: int, out_gates: list[dict]):
-    """SWAP wanted logical qubits into physical slots < k."""
-    # Free local slots: local physical positions whose logical qubit is
-    # not itself wanted.
+def _emit_swaps(qm: QubitMap, want_local: list[int], k: int,
+                out_gates: list[dict], *, bit_costs=None, scores=None):
+    """SWAP wanted logical qubits into physical slots < k.
+
+    With ``bit_costs`` (per-device-bit link costs,
+    ``parallel.distributed.device_bit_costs``) the EVICTION pairing is
+    cost-aware: each fetch evicts a currently-local qubit to the
+    fetched qubit's device slot, so the most expensive slots (DCN)
+    receive the least-soon-needed evictees (lowest future ``scores``)
+    — bringing an evicted hot qubit back from a DCN bit costs 20x an
+    ICI bit.
+    """
     wanted = set(want_local)
     free = [p for p in range(k) if qm.log(p) not in wanted]
-    for lq in want_local:
-        p = qm.phys(lq)
-        if p < k:
+    fetches = [(lq, qm.phys(lq)) for lq in want_local if qm.phys(lq) >= k]
+    if bit_costs is not None:
+        # Most expensive fetch slot first; free list ordered so pop()
+        # yields the LOWEST-future-demand evictee.
+        fetches.sort(key=lambda t: -bit_costs[t[1] - k])
+        sc = scores or {}
+        free.sort(key=lambda p: sc.get(qm.log(p), 0.0), reverse=True)
+    for lq, p in fetches:
+        if qm.phys(lq) < k:  # an earlier swap may have moved it
             continue
+        p = qm.phys(lq)
         if not free:
             raise RuntimeError("no free local slot — want_local larger than k")
         dst = free.pop()
         out_gates.append({"qubits": [dst, p], "gate": "SWAP"})
         qm.swap_phys(dst, p)
+
+
+def _rank_candidates(scores, qm: QubitMap, k: int, bit_costs, cost_weight):
+    """Candidate local-set qubits by future demand, fetch-cost-adjusted.
+
+    Fetching a qubit parked at device slot p costs one boundary SWAP
+    crossing device bit (p - k); with ``bit_costs`` the score is
+    discounted by ``cost_weight * cost`` so cold DCN-parked qubits are
+    deferred until their gates can be batched into one crossing.
+    """
+    def adj(q, s):
+        if bit_costs is None:
+            return s
+        p = qm.phys(q)
+        if p < k:
+            return s
+        return s - cost_weight * bit_costs[p - k]
+
+    return [q for q, _ in sorted(
+        ((q, adj(q, s)) for q, s in scores.items()), key=lambda kv: -kv[1])]
 
 
 def stage_circuit(
@@ -141,12 +176,23 @@ def stage_circuit(
     *,
     window: int = LOOKAHEAD_WINDOW,
     gamma: float = LOOKAHEAD_GAMMA,
+    bit_costs: list[float] | None = None,
+    cost_weight: float = 0.15,
 ) -> tuple[dict, list[int], dict]:
     """Rewrite a circuit into physical index space with staged locality.
 
     Returns ``(physical_circuit_dict, log2phys_final, stats)``.
     ``log2phys_final[q]`` is the physical bit that carries logical
     qubit q in the *output* state (undo with :func:`permute_state`).
+
+    ``bit_costs`` makes the schedule MESH-AWARE (SURVEY §7 hard part —
+    the reference's unit is "1 I/O pass", ours is the link a transfer
+    actually crosses): stage-set selection discounts candidates by the
+    cost of the device bit they'd be fetched across (a qubit parked
+    behind DCN needs ``cost_weight * cost`` more future demand to
+    justify fetching now instead of batching its gates later), and
+    evictions send cold qubits to the expensive slots
+    (see :func:`_emit_swaps`).
     """
     cd = validate_circuit_dict(circuit_dict)
     n = cd["number_of_qubits"]
@@ -210,13 +256,15 @@ def stage_circuit(
         first = gates[pending[0]]
         required = non_insular_qubits(first) or list(first["qubits"])[:1]
         chosen = list(dict.fromkeys(required))[:k]
-        for q, _ in sorted(scores.items(), key=lambda kv: -kv[1]):
+        ranked = _rank_candidates(scores, qm, k, bit_costs, cost_weight)
+        for q in ranked:
             if len(chosen) >= k:
                 break
             if q not in chosen:
                 chosen.append(q)
         before = len(out_gates)
-        _emit_swaps(qm, chosen, k, out_gates)
+        _emit_swaps(qm, chosen, k, out_gates, bit_costs=bit_costs,
+                    scores=scores)
         n_swaps += len(out_gates) - before
 
         # Execute everything the new layout allows.
@@ -313,6 +361,11 @@ def _stage_ilp(cd, k, *, window, gamma):
             hi = mid
         else:
             lo = mid + 1
+    if best_sets is None:
+        # The search shrank to lo == hi without ever evaluating the
+        # upper bound (possible when only S == len(gates) is feasible):
+        # try it before falling back to the heuristic.
+        best_sets = try_s(lo)
     if best_sets is None:
         return stage_circuit(cd, k, method="heuristic",
                              window=window, gamma=gamma)
@@ -545,6 +598,104 @@ def permute_state(psi: np.ndarray, log2phys: list[int]) -> np.ndarray:
     return np.ascontiguousarray(
         np.asarray(psi).reshape((2,) * n).transpose(perm).reshape(-1)
     )
+
+
+def plan_cost(circuit_dict: dict, k: int,
+              bit_costs: list[float] | None = None,
+              itemsize: int = 8) -> float:
+    """Total (link-cost-weighted) exchange bytes per device of a plan.
+
+    The objective the scheduler optimizes — identical to what
+    :func:`staging_stats` reports, so "reported" and "optimized" are
+    the same number.  Boundary-SWAP runs are charged at their
+    COLLAPSED all_to_all volume (``parallel/reshard``: r disjoint
+    boundary SWAPs in a run ship (1 - 2^-r) of the shard once, not r
+    half-shards), priced at the most expensive device bit the run
+    crosses — matching what the executor actually lowers.
+    """
+    from ..ops.exchange import exchange_bytes, weighted_exchange_bytes
+    from .contract import validate_circuit_dict as _v
+
+    cd = _v(circuit_dict)
+    shard_bytes = (1 << k) * itemsize
+    total = 0.0
+    run_bits: list[int] = []
+    run_qubits: set[int] = set()
+
+    def flush_run():
+        nonlocal total
+        if not run_bits:
+            return
+        r = len(run_bits)
+        vol = shard_bytes - (shard_bytes >> r)
+        w = max((bit_costs[b] for b in run_bits), default=1.0) \
+            if bit_costs is not None else 1.0
+        total += w * vol
+        run_bits.clear()
+        run_qubits.clear()
+
+    for g in cd["gates"]:
+        U = G.gate_matrix(g["gate"], g.get("params") or {})
+        qs = tuple(g["qubits"])
+        is_boundary_swap = (
+            g["gate"] == "SWAP" and len(qs) == 2
+            and min(qs) < k <= max(qs)
+            and not (set(qs) & run_qubits)
+        )
+        if is_boundary_swap:
+            run_bits.append(max(qs) - k)
+            run_qubits.update(qs)
+            continue
+        if any(q in run_qubits for q in qs) or any(q >= k for q in qs):
+            flush_run()
+        if bit_costs is not None:
+            total += weighted_exchange_bytes(U, qs, k, bit_costs, itemsize)
+        else:
+            total += exchange_bytes(U, qs, k, itemsize)
+    flush_run()
+    return total
+
+
+def choose_staging(
+    circuit_dict: dict, k: int,
+    *, bit_costs: list[float] | None = None,
+    methods: tuple = ("heuristic", "greedy", "ilp"),
+    itemsize: int = 8,
+) -> tuple[dict, list[int] | None, dict]:
+    """Pick the cheapest plan by the weighted-bytes objective.
+
+    Candidates: the UNSTAGED circuit plus each staging method, each
+    realized both cost-blind and cost-aware (when ``bit_costs`` is
+    given).  The winner minimizes :func:`plan_cost` — the scheduler
+    optimizes exactly the objective it reports, the way the reference's
+    ILP optimizes the stage objective it executes
+    (``wenbo_engine/circuit/staging.py:176-315``), but with the
+    mesh-aware cost (SURVEY §7 hard part).
+
+    Returns ``(plan_cd, log2phys_or_None, stats)`` — log2phys is None
+    when the unstaged circuit wins.
+    """
+    cd = validate_circuit_dict(circuit_dict)
+    cands: list[tuple[float, dict, list[int] | None, dict]] = []
+    base = plan_cost(cd, k, bit_costs, itemsize)
+    cands.append((base, cd, None, {"method": "unstaged"}))
+    for m in methods:
+        variants = [(None, 0.0)]
+        if bit_costs is not None and m in ("heuristic", "greedy"):
+            variants.append((bit_costs, 0.15))
+        for bc, lam in variants:
+            try:
+                staged, l2p, st = stage_circuit(
+                    cd, k, m, bit_costs=bc, cost_weight=lam)
+            except Exception:
+                continue
+            c = plan_cost(staged, k, bit_costs, itemsize)
+            st = dict(st, cost_aware=bc is not None)
+            cands.append((c, staged, l2p, st))
+    cands.sort(key=lambda t: t[0])
+    cost, plan, l2p, st = cands[0]
+    st = dict(st, plan_cost=cost, unstaged_cost=base)
+    return plan, l2p, st
 
 
 def staging_stats(

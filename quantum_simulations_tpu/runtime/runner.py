@@ -137,20 +137,21 @@ def run(
     log2phys = None
     if use_staging and mesh.size > 1:
         from ..circuit import staging as S
+        from ..parallel.distributed import device_bit_costs
 
         n = cd["number_of_qubits"]
         k = M.shard_width(mesh, n)
-        method = staging_method
-        if method == "auto":
-            stats = S.staging_stats(cd, k, "heuristic")
-            if stats["exchanges_staged"] < stats["exchanges_unstaged"]:
-                method = "heuristic"
-            else:
-                method = None
-        if method:
-            cd, log2phys, _ = S.stage_circuit(cd, k, method)
-            if log2phys == list(range(n)):
-                log2phys = None
+        bit_costs = device_bit_costs(mesh)
+        if staging_method == "auto":
+            # Portfolio over methods (and the unstaged plan), scored by
+            # the mesh-aware weighted-bytes objective — the scheduler
+            # optimizes exactly what staging_stats reports.
+            cd, log2phys, _ = S.choose_staging(cd, k, bit_costs=bit_costs)
+        else:
+            cd, log2phys, _ = S.stage_circuit(
+                cd, k, staging_method, bit_costs=bit_costs)
+        if log2phys == list(range(n)):
+            log2phys = None
     atomic_write_json(work_dir / "qubit_mapping.json", {
         "log2phys": log2phys if log2phys else None,
     })

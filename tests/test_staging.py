@@ -115,18 +115,35 @@ def test_runner_with_staging(tmp_path, method):
     np.testing.assert_allclose(got, oracle.simulate(cd), atol=1e-10)
 
 
-def test_runner_auto_skips_staging_for_qft(tmp_path):
-    # QFT's nonlocal gates are mostly diagonal: auto must not stage.
-    import json
+def test_runner_auto_picks_cheapest_plan(tmp_path):
+    # auto = portfolio scored by the weighted-bytes objective: the
+    # chosen plan must never cost more than running unstaged, and the
+    # runner must still produce the oracle state through whatever
+    # mapping the winner carries.
     cd = lib.qft(6)
     mesh = M.make_mesh(4)
     runner.run(cd, tmp_path, mesh=mesh, dtype="complex128",
                use_staging=True, staging_method="auto")
-    mapping = json.loads((tmp_path / "qubit_mapping.json").read_text())
-    assert mapping["log2phys"] is None
     np.testing.assert_allclose(
         runner.collect_state(tmp_path), oracle.simulate(cd), atol=1e-10
     )
+    k = M.shard_width(mesh, 6)
+    plan, _, st = staging.choose_staging(cd, k, bit_costs=[1.0, 1.0])
+    assert st["plan_cost"] <= st["unstaged_cost"]
+
+
+def test_diag_heavy_circuit_stays_unstaged():
+    # A circuit whose only nonlocal gates are diagonal costs ZERO bytes
+    # unstaged (the exchange planner elides their traffic): the
+    # portfolio must keep it unstaged — staging could only add SWAPs.
+    g = [{"qubits": [q], "gate": "H"} for q in range(3)]
+    g += [{"qubits": [q, 5], "gate": "CR", "params": {"k": 2}}
+          for q in range(3)]
+    g += [{"qubits": [5], "gate": "T"}, {"qubits": [4], "gate": "S"}]
+    cd = {"number_of_qubits": 6, "gates": g}
+    plan, l2p, st = staging.choose_staging(cd, 3, bit_costs=[1, 1, 20.0])
+    assert st["method"] == "unstaged" and l2p is None
+    assert st["plan_cost"] == 0.0
 
 
 # ---------------------------------------------------------------------------
@@ -174,3 +191,98 @@ def test_sets_to_schedule_safety_net():
     got = staging.permute_state(oracle.simulate(out), l2p)
     np.testing.assert_allclose(got, oracle.simulate(cd), atol=1e-10)
     assert st["stages"] >= 2
+
+
+# ---------------------------------------------------------------------------
+# Mesh-aware (ICI/DCN) cost-model-driven staging — SURVEY §7 hard part
+# ---------------------------------------------------------------------------
+
+# Link costs of the 2-host 8-device pod mesh (asserted for a REAL
+# two-process cluster in tests/test_multiprocess_dcn.py): device bits
+# 0-1 intra-host (ICI), bit 2 crosses hosts (DCN).
+POD2_COSTS = [1.0, 1.0, 20.0]
+
+
+def _dcn_trap_circuit():
+    """Crafted so the cost-blind heuristic pays THREE DCN crossings.
+
+    q5 (the DCN bit) has just enough early demand that the blind
+    lookahead pulls it local in stage 1, evicts it for the q2 chain in
+    stage 2, and re-fetches it for the chain-gated CNOT(2,5) — fetch +
+    evict + re-fetch, all crossing device bit 2.  The cost-aware
+    scheduler defers q5 (fetch penalty 0.15 * 20 outweighs its early
+    score) and batches all q5 work into ONE crossing.
+    """
+    g = [{"qubits": [0], "gate": "H"}]
+    g.append({"qubits": [5], "gate": "H"})
+    g.append({"qubits": [0, 1], "gate": "CNOT"})
+    g.append({"qubits": [5], "gate": "RY", "params": {"theta": 0.3}})
+    g.append({"qubits": [1], "gate": "T"})
+    g.append({"qubits": [5], "gate": "H"})
+    for _ in range(12):
+        g.append({"qubits": [1, 2], "gate": "CNOT"})
+        g.append({"qubits": [2], "gate": "T"})
+        g.append({"qubits": [0, 2], "gate": "CNOT"})
+    g.append({"qubits": [2, 5], "gate": "CNOT"})
+    g.append({"qubits": [5], "gate": "H"})
+    return {"number_of_qubits": 6, "gates": g}
+
+
+def test_cost_aware_staging_beats_blind_on_dcn_trap():
+    cd = _dcn_trap_circuit()
+    k = 3
+    blind, _, _ = staging.stage_circuit(cd, k, "heuristic")
+    aware, _, _ = staging.stage_circuit(cd, k, "heuristic",
+                                        bit_costs=POD2_COSTS)
+    c_blind = staging.plan_cost(blind, k, POD2_COSTS)
+    c_aware = staging.plan_cost(aware, k, POD2_COSTS)
+    assert c_aware < c_blind, (c_aware, c_blind)
+    # Specifically: one DCN crossing instead of three.
+    assert c_aware <= c_blind / 2
+
+
+def test_choose_staging_optimizes_reported_objective():
+    cd = _dcn_trap_circuit()
+    k = 3
+    plan, l2p, st = staging.choose_staging(cd, k, bit_costs=POD2_COSTS)
+    # The portfolio's winner must be at least as cheap as every
+    # single-method candidate it considered.
+    for m in ("heuristic", "greedy"):
+        for bc in (None, POD2_COSTS):
+            alt, _, _ = staging.stage_circuit(cd, k, m, bit_costs=bc)
+            assert st["plan_cost"] <= staging.plan_cost(
+                alt, k, POD2_COSTS) + 1e-9
+    assert st["plan_cost"] <= st["unstaged_cost"]
+    # And it still computes the right state.
+    got = staging.permute_state(oracle.simulate(plan), l2p)
+    np.testing.assert_allclose(got, oracle.simulate(cd), atol=1e-10)
+
+
+def test_cost_aware_schedules_remain_correct():
+    rng = np.random.default_rng(11)
+    for seed in range(4):
+        cd = lib.random_circuit(6, 40, seed=seed)
+        for costs in (POD2_COSTS, [1.0, 20.0, 20.0]):
+            out, l2p, _ = staging.stage_circuit(
+                cd, 3, "heuristic", bit_costs=costs)
+            got = staging.permute_state(oracle.simulate(out), l2p)
+            np.testing.assert_allclose(got, oracle.simulate(cd),
+                                       atol=1e-10)
+
+
+def test_plan_cost_charges_collapsed_reshard_volume():
+    # r disjoint boundary SWAPs in a run = ONE all_to_all shipping
+    # (1 - 2^-r) of the shard, priced at the dearest bit crossed.
+    k, itemsize = 3, 8
+    shard = (1 << k) * itemsize
+    run2 = {"number_of_qubits": 6, "gates": [
+        {"qubits": [0, 3], "gate": "SWAP"},
+        {"qubits": [1, 5], "gate": "SWAP"},
+    ]}
+    got = staging.plan_cost(run2, k, POD2_COSTS, itemsize)
+    assert got == 20.0 * (shard - (shard >> 2))
+    # A lone ICI boundary SWAP: half a shard at weight 1.
+    one = {"number_of_qubits": 6, "gates": [
+        {"qubits": [0, 3], "gate": "SWAP"},
+    ]}
+    assert staging.plan_cost(one, k, POD2_COSTS, itemsize) == shard / 2
