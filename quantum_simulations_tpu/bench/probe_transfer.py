@@ -8,12 +8,17 @@ the reference's own host-RAM-to-disk analogue is
 ``wenbo_engine/bench/io.py``); on the axon dev tunnel it is a network
 hop.
 
-Measured 2026-08-19 on the v5e-via-tunnel dev setup:
+Measured 2026-08-19 on the v5e-via-tunnel dev setup (exact sizes
+probed — no extrapolation; round-2 rates were timed WITHOUT a per-shape
+warmup so they included trace+compile and understate the true rate):
 
-* f32 upload (device_put via jit arg):   WORKS, 5-31 MB/s (tunnel cap)
-* complex64 upload:                      UNIMPLEMENTED
-* f32 fetch  >= 64 MB:                   UNIMPLEMENTED (32 MB ok r1)
-* complex fetch (any size):              UNIMPLEMENTED
+* f32 upload (device_put via jit arg):   WORKS at 4/64/512 MB
+  (round-2 compile-inclusive figures were 5-31 MB/s; re-run this probe
+  on hardware for compile-excluded rates)
+* complex64 upload (8 MB probed):        UNIMPLEMENTED
+* f32 fetch at 64 MB:                    UNIMPLEMENTED (32 MB ok r1;
+  512 MB now probed independently)
+* complex64 fetch (8 MB probed):         UNIMPLEMENTED
 
 => streaming a 16 GiB n=31 stripe set through the tunnel would take
 ~9 min per direction per pass — a dev-setup artifact, not a framework
@@ -41,18 +46,22 @@ def main():
     results = {}
 
     # 1. f32 upload via jitted-identity argument (the device_put path).
+    # Each shape compiles fresh, so call once UNTIMED to trace+compile,
+    # then time a second call: the timed region is pure transfer.
     f = jax.jit(lambda x: jnp.sum(x))
     for mb in (4, 64, 512):
         a = np.ones(mb * 1 << 18, np.float32)
         try:
+            float(jax.device_get(f(a)))  # warmup: trace + compile + 1st DMA
             t0 = time.time()
             s = float(jax.device_get(f(a)))
             dt = time.time() - t0
             results[f"f32_up_{mb}MB"] = f"OK {mb/dt:.0f} MB/s (sum={s:.0f})"
+            print(f"f32_up_{mb}MB:", results[f"f32_up_{mb}MB"], flush=True)
         except Exception as e:
             results[f"f32_up_{mb}MB"] = f"FAIL {type(e).__name__}: {str(e)[:120]}"
+            print(f"f32_up_{mb}MB:", results[f"f32_up_{mb}MB"], flush=True)
             break
-        print(f"f32_up_{mb}MB:", results[f"f32_up_{mb}MB"], flush=True)
 
     # 2. complex64 upload via jit arg.
     fc = jax.jit(lambda x: jnp.sum(jnp.abs(x)))
@@ -65,9 +74,11 @@ def main():
         results["c64_up_8MB"] = f"FAIL {type(e).__name__}: {str(e)[:120]}"
     print("c64_up_8MB:", results["c64_up_8MB"], flush=True)
 
-    # 3. f32 fetch bandwidth at stripe sizes.
+    # 3. f32 fetch bandwidth at stripe sizes.  Probe each size
+    # independently (no break): a 64 MB failure says nothing about
+    # 512 MB on a different backend rev.
     for mb in (64, 512):
-        g = jax.jit(lambda: jnp.ones(mb * 1 << 18, jnp.float32) * 2.0)
+        g = jax.jit(lambda mb=mb: jnp.ones(mb * 1 << 18, jnp.float32) * 2.0)
         try:
             out = g()
             out.block_until_ready()
@@ -77,12 +88,10 @@ def main():
             results[f"f32_down_{mb}MB"] = f"OK {mb/dt:.0f} MB/s (h0={h[0]})"
         except Exception as e:
             results[f"f32_down_{mb}MB"] = f"FAIL {type(e).__name__}: {str(e)[:120]}"
-            break
         print(f"f32_down_{mb}MB:", results[f"f32_down_{mb}MB"], flush=True)
 
     # 4. complex64 fetch.
-    gc = jax.jit(lambda: jnp.full((1 << 20,), 1.0, jnp.complex64)
-                 if False else jnp.zeros((1 << 20,), jnp.complex64))
+    gc = jax.jit(lambda: jnp.zeros((1 << 20,), jnp.complex64))
     try:
         out = gc()
         h = np.asarray(jax.device_get(out))

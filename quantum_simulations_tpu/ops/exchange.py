@@ -195,12 +195,19 @@ def apply_nonlocal(
         elif tables is not None:
             lo_t, li_t = tables
             lout = jnp.take(jnp.asarray(lo_t), a_scalar)
+            # Plane I read from the received data: li_t[my value].
             lin = jnp.take(jnp.asarray(li_t), a_scalar)
+            # Plane I must SEND: what my PARTNER (value = mine ^ x)
+            # reads, li_t[a ^ x].  For symmetric tables (CNOT) the two
+            # coincide; for asymmetric ones (SWAP: device a reads the
+            # 1-a plane) sending li_t[self] ships the wrong half —
+            # caught by the cross-boundary fuzz in tests/test_reshard.py.
+            lin_send = jnp.take(jnp.asarray(li_t), a_scalar ^ x)
             q = loc_qubits[0]
             C = 1 << q
             R = shard.size >> (q + 1)
             planes = shard.reshape(R, 2, C)
-            half = lax.dynamic_slice_in_dim(planes, lin, 1, axis=1)
+            half = lax.dynamic_slice_in_dim(planes, lin_send, 1, axis=1)
             recv = lax.ppermute(half, axis_name, _xor_perm(n_dev, mesh_mask(x)))
             W = block_for(x)
             contrib_half = W[lout, lin] * recv

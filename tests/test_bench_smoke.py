@@ -51,3 +51,13 @@ def test_spill_bw_small():
     out = spill_bw.run(n=10, stripe_qubits=7)
     assert len(out["rows"]) == 2
     assert abs(out["rows"][0]["norm"] - 1) < 1e-4
+
+
+def test_c128_diff_small():
+    from quantum_simulations_tpu.bench import c128_diff
+    out = c128_diff.run(sizes=(8,), families=("qft", "nonstab"),
+                        segmented_n=10, segment_gates=16)
+    assert out["met"], out
+    modes = {r["mode"] for r in out["rows"]}
+    assert "end_to_end" in modes
+    assert any(m.startswith("segmented_restart") for m in modes)

@@ -141,3 +141,93 @@ def test_reshard_bytes_model():
     shard = (1 << 20) * 8
     assert b["ppermute_chain_bytes"] == 3 * shard
     assert b["all_to_all_bytes"] == shard - shard // 8
+
+
+# ---------------------------------------------------------------------------
+# Fuzz: random disjoint pair sets x mesh sizes vs the SWAP-chain oracle
+# (regression class of the round-2 cross-phase panel-ordering race)
+# ---------------------------------------------------------------------------
+
+def test_swap_device_bits_fuzz_random_pairs():
+    rng = np.random.default_rng(123)
+    for trial in range(40):
+        d = int(rng.choice([1, 2, 3]))
+        mesh = M.make_mesh(1 << d)
+        k = int(rng.integers(2, 5))
+        n = d + k
+        r = int(rng.integers(1, min(k, d) + 1))
+        lqs = rng.choice(k, size=r, replace=False)
+        dqs = rng.choice(np.arange(k, n), size=r, replace=False)
+        pairs = [(int(a), int(b)) for a, b in zip(lqs, dqs)]
+        psi = _random_state(n, seed=1000 + trial)
+        got = _apply_reshard(mesh, psi, k, pairs)
+        want = _oracle_swaps(psi, n, pairs)
+        np.testing.assert_allclose(
+            got, want, atol=1e-12,
+            err_msg=f"trial={trial} d={d} n={n} pairs={pairs}")
+
+
+def test_swap_device_bits_fuzz_composed_with_gates(mesh8):
+    """Reshard sandwiched between gate layers: layout bookkeeping must
+    compose (the reshard is not just a standalone permutation)."""
+    rng = np.random.default_rng(7)
+    n, k = 6, 3
+    for trial in range(10):
+        r = int(rng.integers(1, 4))
+        lqs = rng.choice(k, size=r, replace=False)
+        dqs = rng.choice(np.arange(k, n), size=r, replace=False)
+        pairs = [(int(a), int(b)) for a, b in zip(lqs, dqs)]
+        pre = lib.random_circuit(n, 10, seed=trial)
+        post = lib.random_circuit(n, 10, seed=100 + trial)
+
+        def run(s):
+            s = s.reshape(-1)
+            for g in pre["gates"]:
+                U = G.gate_matrix(g["gate"], g.get("params") or {})
+                qs = tuple(g["qubits"])
+                if all(q < k for q in qs):
+                    from quantum_simulations_tpu.ops import dense
+                    s = dense.apply_gate(s, qs, U)
+                else:
+                    from quantum_simulations_tpu.ops import exchange
+                    s = exchange.apply_nonlocal(s, M.AXIS, k, qs, U)
+            return reshard.swap_device_bits(s, M.AXIS, k, pairs)
+
+        psi = _random_state(n, seed=trial)
+        arr = jax.device_put(jnp.asarray(psi), M.state_sharding(mesh8))
+        fn = shard_map(run, mesh=mesh8, in_specs=P(M.AXIS),
+                       out_specs=P(M.AXIS))
+        got = np.asarray(jax.jit(fn)(arr))
+        mid = oracle.simulate(pre, initial_state=psi)
+        want = _oracle_swaps(mid, n, pairs)
+        np.testing.assert_allclose(got, want, atol=1e-12,
+                                   err_msg=f"trial={trial} pairs={pairs}")
+
+
+def test_apply_nonlocal_fuzz_random_2q_unitaries(mesh8):
+    """exchange.apply_nonlocal vs oracle for Haar-random and structured
+    2q gates in EVERY boundary split — including the asymmetric
+    single-cell case (SWAP) that the reshard hoist normally hides."""
+    from scipy.stats import unitary_group
+
+    n, k = 6, 3
+    rng = np.random.default_rng(42)
+    mats = [G.SWAP(), G.CNOT(), G.CY()]
+    mats += [unitary_group.rvs(4, random_state=7 + i) for i in range(3)]
+    splits = [(0, 4), (4, 0), (2, 3), (3, 2), (1, 5), (3, 4), (5, 3)]
+    for U in mats:
+        for qs in splits:
+            def run(s, U=U, qs=qs):
+                from quantum_simulations_tpu.ops import exchange
+                return exchange.apply_nonlocal(
+                    s.reshape(-1), M.AXIS, k, qs, U)
+
+            psi = _random_state(n, seed=int(rng.integers(1 << 30)))
+            arr = jax.device_put(jnp.asarray(psi), M.state_sharding(mesh8))
+            fn = shard_map(run, mesh=mesh8, in_specs=P(M.AXIS),
+                           out_specs=P(M.AXIS))
+            got = np.asarray(jax.jit(fn)(arr))
+            want = oracle.apply_gate(psi, list(qs), np.asarray(U))
+            np.testing.assert_allclose(
+                got, want, atol=1e-12,
+                err_msg=f"qs={qs} U={np.asarray(U)[:1]}")
