@@ -40,7 +40,7 @@ def _rand_state(n: int, seed: int) -> np.ndarray:
 
 def run(sizes=(22, 24), families=("qft", "nonstab"),
         segmented_n: int | None = None, segment_gates: int = 64,
-        seed: int = 7) -> dict:
+        max_segments: int | None = None, seed: int = 7) -> dict:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -77,14 +77,24 @@ def run(sizes=(22, 24), families=("qft", "nonstab"),
     # segment is an independent c128 check of those exact gates at the
     # full 2^n dimension; restarting bounds single-core wall-clock per
     # segment while still covering EVERY gate of the circuit.
+    # ``max_segments`` samples that many evenly-spaced segments instead
+    # of all of them (the dev host has one CPU core; a full 28q sweep
+    # is hours) — the row records exactly which were checked.
     if segmented_n is not None:
         for fam in families:
             cd = lib.FAMILIES[fam](segmented_n)
             gates = cd["gates"]
             worst = 0.0
             n_seg = -(-len(gates) // segment_gates)
+            if max_segments is not None and max_segments < n_seg:
+                idxs = [round(i * (n_seg - 1) / (max_segments - 1))
+                        for i in range(max_segments)] if max_segments > 1 \
+                    else [0]
+                idxs = sorted(set(idxs))
+            else:
+                idxs = list(range(n_seg))
             t0 = time.time()
-            for s in range(n_seg):
+            for s in idxs:
                 seg = gates[s * segment_gates:(s + 1) * segment_gates]
                 sub = {"number_of_qubits": segmented_n, "gates": seg}
                 psi0 = _rand_state(segmented_n, seed + s)
@@ -99,7 +109,8 @@ def run(sizes=(22, 24), families=("qft", "nonstab"),
                                   "max_amp_err": err}), flush=True)
             rows.append({
                 "family": fam, "n": segmented_n, "gates": len(gates),
-                "segments": n_seg, "max_amp_err": worst,
+                "segments": n_seg, "segments_checked": idxs,
+                "max_amp_err": worst,
                 "framework_s": round(time.time() - t0, 2),
                 "mode": f"segmented_restart[{segment_gates}]",
             })
@@ -118,10 +129,12 @@ def main() -> None:
     ap.add_argument("--families", default="qft,nonstab")
     ap.add_argument("--segmented-n", type=int, default=None)
     ap.add_argument("--segment-gates", type=int, default=64)
+    ap.add_argument("--max-segments", type=int, default=None)
     a = ap.parse_args()
     sizes = tuple(int(s) for s in a.sizes.split(",") if s)
     run(sizes=sizes, families=tuple(a.families.split(",")),
-        segmented_n=a.segmented_n, segment_gates=a.segment_gates)
+        segmented_n=a.segmented_n, segment_gates=a.segment_gates,
+        max_segments=a.max_segments)
 
 
 if __name__ == "__main__":

@@ -75,6 +75,17 @@ def _load():
             ctypes.c_void_p, ctypes.c_uint64, ctypes.c_int, ctypes.c_int,
             ctypes.c_double,
         ]
+    for name in ("qst_measure_c64", "qst_measure_c128"):
+        getattr(lib, name).argtypes = [
+            ctypes.c_void_p, ctypes.c_uint64,
+            ctypes.POINTER(ctypes.c_int), ctypes.c_int, ctypes.c_uint64,
+        ]
+        getattr(lib, name).restype = ctypes.c_uint64
+    for name in ("qst_state_max_diff_c64", "qst_state_max_diff_c128"):
+        getattr(lib, name).argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint64,
+        ]
+        getattr(lib, name).restype = ctypes.c_double
     _lib = lib
     AVAILABLE = True
     return lib
@@ -155,3 +166,36 @@ def project_qubit(psi: np.ndarray, q: int, outcome: int, scale: float) -> None:
         raise RuntimeError(f"native engine unavailable: {BUILD_ERROR}")
     getattr(lib, f"qst_project_qubit_{_suffix(psi)}")(
         _ptr(psi), psi.size, q, int(outcome), float(scale))
+
+
+def measure(psi: np.ndarray, qubits: list[int], seed: int) -> int:
+    """Seeded sequential measurement with in-place collapse.
+
+    Returns the packed outcome (bit j = outcome of ``qubits[j]``).  The
+    RNG is a deterministic splitmix64 stream, so the same seed gives
+    the same outcomes regardless of thread count — parity with the
+    reference's measure path (hisvsim_repo/state_vector.hpp:829-1003).
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native engine unavailable: {BUILD_ERROR}")
+    qarr = (ctypes.c_int * len(qubits))(*qubits)
+    return int(getattr(lib, f"qst_measure_{_suffix(psi)}")(
+        _ptr(psi), psi.size, qarr, len(qubits), seed & (2**64 - 1)))
+
+
+def state_max_diff(a: np.ndarray, b: np.ndarray) -> float:
+    """Max elementwise |a - b| over two same-dtype state buffers."""
+    if a.dtype != b.dtype or a.size != b.size:
+        raise ValueError("state buffers must share dtype and size")
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native engine unavailable: {BUILD_ERROR}")
+    return float(getattr(lib, f"qst_state_max_diff_{_suffix(a)}")(
+        _ptr(a), _ptr(b), a.size))
+
+
+def state_equal(a: np.ndarray, b: np.ndarray, tol: float = 1e-10) -> bool:
+    """Elementwise state comparison within ``tol``
+    (reference: state_equal, hisvsim_repo/state_vector.hpp:1003)."""
+    return state_max_diff(a, b) <= tol

@@ -17,6 +17,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <cmath>
 #include <complex>
 
 #if defined(_OPENMP)
@@ -173,6 +174,58 @@ void project_qubit(std::complex<T>* psi, u64 n_amps, int q, int outcome,
     }
 }
 
+// Deterministic 64-bit RNG (splitmix64): seeded measurement must give
+// the same outcome bits on every platform/thread count, since the
+// per-qubit probability reductions are the only parallel part.
+inline u64 splitmix64(u64& s) {
+    u64 z = (s += 0x9e3779b97f4a7c15ULL);
+    z = (z ^ (z >> 30)) * 0xbf58476d1ce4e5b9ULL;
+    z = (z ^ (z >> 27)) * 0x94d049bb133111ebULL;
+    return z ^ (z >> 31);
+}
+
+// Sequential multi-qubit measurement with collapse: for each qubit in
+// order, reduce P(bit==1), draw u ~ U[0,1) from the seeded stream,
+// project + rescale in place.  Returns the outcome bits packed with
+// outcome of qubits[j] at bit j.  Parity with the reference's
+// measure-with-RNG path (hisvsim_repo/state_vector.hpp:829-1003),
+// which draws per-qubit uniforms and collapses the same way.
+template <typename T>
+u64 measure(std::complex<T>* psi, u64 n_amps, const int* qubits, int m,
+            u64 seed) {
+    u64 s = seed;
+    u64 out = 0;
+    for (int j = 0; j < m; ++j) {
+        const int q = qubits[j];
+        const double p1 = prob_qubit(psi, n_amps, q);
+        const double u = (double)(splitmix64(s) >> 11) * 0x1.0p-53;
+        const int outcome = (u < p1) ? 1 : 0;
+        const double p = outcome ? p1 : 1.0 - p1;
+        const double scale = p > 0.0 ? 1.0 / std::sqrt(p) : 0.0;
+        project_qubit(psi, n_amps, q, outcome, scale);
+        out |= (u64)outcome << j;
+    }
+    return out;
+}
+
+// Max elementwise |a - b| — the state-comparison primitive
+// (reference: state_equal, hisvsim_repo/state_vector.hpp:1003).
+template <typename T>
+double state_max_diff(const std::complex<T>* a, const std::complex<T>* b,
+                      u64 n_amps) {
+    double mx = 0.0;
+#if defined(_OPENMP)
+#pragma omp parallel for schedule(static) reduction(max : mx)
+#endif
+    for (long long i = 0; i < (long long)n_amps; ++i) {
+        const double dr = (double)a[i].real() - (double)b[i].real();
+        const double di = (double)a[i].imag() - (double)b[i].imag();
+        const double d = std::sqrt(dr * dr + di * di);
+        if (d > mx) mx = d;
+    }
+    return mx;
+}
+
 template <typename T>
 double norm2(const std::complex<T>* psi, u64 n_amps) {
     double acc = 0.0;
@@ -249,6 +302,22 @@ double qst_norm2_c64(const void* psi, u64 n) {
 }
 double qst_norm2_c128(const void* psi, u64 n) {
     return norm2(reinterpret_cast<const std::complex<double>*>(psi), n);
+}
+u64 qst_measure_c64(void* psi, u64 n, const int* qubits, int m, u64 seed) {
+    return measure(reinterpret_cast<std::complex<float>*>(psi), n, qubits, m,
+                   seed);
+}
+u64 qst_measure_c128(void* psi, u64 n, const int* qubits, int m, u64 seed) {
+    return measure(reinterpret_cast<std::complex<double>*>(psi), n, qubits, m,
+                   seed);
+}
+double qst_state_max_diff_c64(const void* a, const void* b, u64 n) {
+    return state_max_diff(reinterpret_cast<const std::complex<float>*>(a),
+                          reinterpret_cast<const std::complex<float>*>(b), n);
+}
+double qst_state_max_diff_c128(const void* a, const void* b, u64 n) {
+    return state_max_diff(reinterpret_cast<const std::complex<double>*>(a),
+                          reinterpret_cast<const std::complex<double>*>(b), n);
 }
 
 }  // extern "C"

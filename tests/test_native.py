@@ -78,3 +78,63 @@ def test_threads_api():
     native.set_threads(2)
     cd = lib.ghz(6)
     np.testing.assert_allclose(nat.simulate(cd), oracle.simulate(cd), atol=1e-12)
+
+
+# --- measure-with-RNG + state_equal (reference parity:
+#     hisvsim_repo/state_vector.hpp:829-1003) ---
+
+def test_native_measure_ghz_collapses_together():
+    # GHZ: all qubits must agree, and the same seed must reproduce.
+    cd = lib.ghz(6)
+    base = oracle.simulate(cd)
+    outcomes = set()
+    for seed in range(12):
+        psi = base.copy()
+        out = native.measure(psi, list(range(6)), seed=seed)
+        assert out in (0, 0b111111)
+        outcomes.add(out)
+        assert abs(native.norm2(psi) - 1.0) < 1e-10
+        # Collapsed state is the matching basis vector.
+        want = np.zeros_like(psi)
+        want[0 if out == 0 else (1 << 6) - 1] = psi[0 if out == 0 else -1]
+        np.testing.assert_allclose(np.abs(psi), np.abs(want), atol=1e-10)
+        assert native.measure(base.copy(), list(range(6)), seed=seed) == out
+    assert outcomes == {0, 0b111111}  # both branches seen across seeds
+
+
+def test_native_measure_deterministic_qubit():
+    # |psi> = |0>|1>: q1 always measures 1, q0 always 0, any seed.
+    psi0 = np.zeros(4, dtype=np.complex128)
+    psi0[0b10] = 1.0
+    for seed in (0, 1, 99):
+        psi = psi0.copy()
+        assert native.measure(psi, [0, 1], seed=seed) == 0b10
+        np.testing.assert_allclose(psi, psi0, atol=1e-12)
+
+
+def test_native_measure_statistics_plus_state():
+    # |+>: outcome frequency over seeds approaches 1/2.
+    plus = np.full(2, 1 / np.sqrt(2), dtype=np.complex128)
+    ones = sum(native.measure(plus.copy(), [0], seed=s) for s in range(400))
+    assert 140 <= ones <= 260
+
+
+@pytest.mark.parametrize("dtype,eps", [(np.complex64, 1e-4),
+                                       (np.complex128, 3e-8)])
+def test_native_state_equal(dtype, eps):
+    a = _rand(8, seed=5, dtype=dtype)
+    assert native.state_equal(a, a.copy())
+    b = a.copy()
+    b[17] += eps
+    d = native.state_max_diff(a, b)
+    assert abs(d - eps) < eps * 1e-3  # up to one ulp of the buffer dtype
+    assert not native.state_equal(a, b, tol=eps / 10)
+    assert native.state_equal(a, b, tol=eps * 10)
+
+
+def test_native_state_equal_mismatch_raises():
+    a = _rand(4, seed=1)
+    with pytest.raises(ValueError):
+        native.state_max_diff(a, a.astype(np.complex64))
+    with pytest.raises(ValueError):
+        native.state_max_diff(a, a[:8].copy())
