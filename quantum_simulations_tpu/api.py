@@ -78,7 +78,7 @@ def simulate(circuit_dict: dict, config: SimulatorConfig | None = None,
             cd, stripe_qubits=cfg.stripe_qubits, backend=cfg.spill_backend,
             work_dir=work_dir, dtype=cfg.dtype, use_fusion=cfg.use_fusion,
             panel_width=cfg.panel_width, use_staging=cfg.use_staging,
-            staging_method=cfg.staging_method,
+            staging_method=cfg.staging_method, transfer=cfg.spill_transfer,
         )
         if cfg.spill_backend == "disk":
             return spill.collect_state(out)

@@ -36,6 +36,17 @@ from .wal import WAL
 CRASH_ENV = "QST_CRASH_AFTER_STRIPE"
 
 
+def _f32_to_c64(x32):
+    """Interleaved (re,im) float32 vector -> complex64 vector (on device)."""
+    x = x32.reshape(-1, 2)
+    return jax.lax.complex(x[:, 0], x[:, 1])
+
+
+def _c64_to_f32(z):
+    """Complex64 vector -> interleaved (re,im) float32 vector (on device)."""
+    return jnp.stack([jnp.real(z), jnp.imag(z)], axis=-1).reshape(-1)
+
+
 def _group_bits(step: Step, m: int) -> list[int]:
     bits: set[int] = set()
     for op in step.nonlocal_ops:
@@ -61,13 +72,21 @@ class _FnCache:
     def __init__(self):
         self._cache: dict = {}
 
-    def get(self, key, ops):
+    def get(self, key, ops, *, f32_io: bool = False):
         hit = self._cache.get(key)
         if hit is not None:
             return hit
-        fn = jax.jit(
-            lambda psi: apply_local_ops(psi, ops), donate_argnums=(0,)
-        )
+        if f32_io:
+            # The argument is a host np.float32 array (the jit-arg upload
+            # path is the one the tunnel supports) — host args can't be
+            # donated, so no donate_argnums here.
+            fn = jax.jit(
+                lambda x32: _c64_to_f32(apply_local_ops(_f32_to_c64(x32), ops))
+            )
+        else:
+            fn = jax.jit(
+                lambda psi: apply_local_ops(psi, ops), donate_argnums=(0,)
+            )
         self._cache[key] = fn
         return fn
 
@@ -85,6 +104,7 @@ def run_out_of_core(
     use_staging: bool = False,
     staging_method: str = "auto",
     pipeline: bool = True,
+    transfer: str = "native",
 ) -> np.ndarray | Path:
     """Simulate with the state held outside HBM.
 
@@ -100,6 +120,15 @@ def run_out_of_core(
     ``wenbo_engine/runner/single_node.py:109-121``).  Host-backend
     results are un-permuted before returning; disk runs record
     ``qubit_mapping.json`` applied by :func:`collect_state`.
+
+    ``transfer='f32'`` moves stripes across the host<->device boundary
+    as interleaved (re,im) float32 vectors instead of complex64, and
+    drains group passes one stripe-sized device slice at a time.  This
+    is for backends whose DMA path lacks complex transfers or large
+    single fetches (the axon dev tunnel: complex64 upload and >=64 MB
+    fetch are UNIMPLEMENTED — ``bench/probe_transfer.py``); the device
+    programs convert at the edges, so compute runs complex64 either
+    way.  complex64 only.
     """
     cd = validate_circuit_dict(circuit_dict)
     n = cd["number_of_qubits"]
@@ -119,6 +148,26 @@ def run_out_of_core(
             cd, log2phys, _ = S.stage_circuit(cd, m, method)
             if log2phys == list(range(n)):
                 log2phys = None
+
+    f32_io = transfer == "f32"
+    if f32_io and np.dtype(dtype) != np.complex64:
+        raise ValueError("transfer='f32' supports dtype=complex64 only")
+
+    def _up(arr: np.ndarray):
+        """Host stripe -> array handed to the device program.
+
+        f32 mode hands the interleaved float32 view straight to the
+        jitted program (jit-arg upload); native mode device_puts the
+        complex stripe eagerly so the step program can donate it.
+        """
+        a = np.ascontiguousarray(arr)
+        if f32_io:
+            return a.view(np.float32)
+        return jnp.asarray(a, dtype=dtype)
+
+    def _down(arr: np.ndarray) -> np.ndarray:
+        """Fetched device output -> host complex stripe."""
+        return arr.view(np.complex64) if f32_io else arr
 
     steps = compile_steps(cd, k=m, use_fusion=use_fusion, panel_width=panel_width)
     cache = _FnCache()
@@ -163,7 +212,7 @@ def run_out_of_core(
         r = len(bits)
         ops = _remap_ops(step, m, bits)
         key = (step_idx,)
-        fn = cache.get(key, ops)
+        fn = cache.get(key, ops, f32_io=f32_io)
 
         if r == 0:
             # Depth-2 software pipeline: the next stripe's H2D upload and
@@ -176,17 +225,17 @@ def run_out_of_core(
             # (bench/spill_bw.overlap) and debugging.
             if not pipeline:
                 for s in range(src.n_stripes):
-                    out = fn(jnp.asarray(src.read(s), dtype=dtype))
-                    _write_stripe(dst, s, np.asarray(out))
+                    out = fn(_up(src.read(s)))
+                    _write_stripe(dst, s, _down(np.asarray(out)))
             else:
                 prev_s, prev_out = None, None
                 for s in range(src.n_stripes):
-                    out = fn(jnp.asarray(src.read(s), dtype=dtype))
+                    out = fn(_up(src.read(s)))
                     if prev_out is not None:
-                        _write_stripe(dst, prev_s, prev_out)
+                        _write_stripe(dst, prev_s, _down(np.asarray(prev_out)))
                     prev_s, prev_out = s, out
                 if prev_out is not None:
-                    _write_stripe(dst, prev_s, prev_out)
+                    _write_stripe(dst, prev_s, _down(np.asarray(prev_out)))
         else:
             # Same depth-2 pipeline as the local path: group k+1's
             # upload + device compute are dispatched (JAX async) before
@@ -196,6 +245,20 @@ def run_out_of_core(
             group_masks = [1 << b for b in bits]
             free_bits = [b for b in range(n - m) if b not in bits]
             L = src.stripe_len
+
+            def _drain_group(members, out):
+                if f32_io:
+                    # Fetch one stripe-sized device slice at a time (a
+                    # whole-group fetch can exceed the backend's single-
+                    # transfer limit).
+                    for j, s in enumerate(members):
+                        seg = np.asarray(out[2 * j * L:2 * (j + 1) * L])
+                        _write_stripe(dst, s, _down(seg))
+                else:
+                    p_host = np.asarray(out)
+                    for j, s in enumerate(members):
+                        _write_stripe(dst, s, p_host[j * L:(j + 1) * L])
+
             prev = None
             for base_sel in range(1 << len(free_bits)):
                 base = 0
@@ -210,23 +273,15 @@ def run_out_of_core(
                             s |= group_masks[t]
                     members.append(s)
                 stacked = np.concatenate([src.read(s) for s in members])
-                out = fn(jnp.asarray(stacked, dtype=dtype))
+                out = fn(_up(stacked))
                 if not pipeline:
-                    p_host = np.asarray(out)
-                    for j, s in enumerate(members):
-                        _write_stripe(dst, s, p_host[j * L:(j + 1) * L])
+                    _drain_group(members, out)
                     continue
                 if prev is not None:
-                    p_members, p_out = prev
-                    p_host = np.asarray(p_out)
-                    for j, s in enumerate(p_members):
-                        _write_stripe(dst, s, p_host[j * L:(j + 1) * L])
+                    _drain_group(*prev)
                 prev = (members, out)
             if prev is not None:
-                p_members, p_out = prev
-                p_host = np.asarray(p_out)
-                for j, s in enumerate(p_members):
-                    _write_stripe(dst, s, p_host[j * L:(j + 1) * L])
+                _drain_group(*prev)
 
         if wal:
             dst.write_manifest()

@@ -41,6 +41,8 @@ class SimulatorConfig:
     # Out-of-core
     stripe_qubits: int | None = None   # None = in-HBM
     spill_backend: str = "host"        # 'host' | 'disk'
+    spill_transfer: str = "native"     # 'native' | 'f32' (interleaved-
+    # float stripe I/O for backends without complex/large DMA paths)
 
     # Sparse: False | True | "auto" (adaptive sparse->dense switching
     # driven by the intermediate-nnz profile)

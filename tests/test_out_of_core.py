@@ -218,6 +218,66 @@ def test_spill_sync_mode_matches_pipelined():
         np.testing.assert_allclose(got, want, atol=1e-10)
 
 
+class TestF32Transfer:
+    """``transfer='f32'``: interleaved-float stripe I/O for backends
+    whose DMA path lacks complex transfers or large single fetches
+    (measured on the axon tunnel — bench/probe_transfer.py).  The
+    device programs still compute complex64; only the boundary
+    representation changes, so results must match native byte-for-byte
+    semantics."""
+
+    @pytest.mark.parametrize("tag,cd", CIRCUITS[:4],
+                             ids=[c[0] for c in CIRCUITS[:4]])
+    def test_host_f32_vs_oracle(self, tag, cd):
+        got = spill.run_out_of_core(cd, stripe_qubits=3, backend="host",
+                                    transfer="f32")
+        np.testing.assert_allclose(got, oracle.simulate(cd), atol=2e-5)
+
+    def test_f32_matches_native_exactly(self):
+        """Same circuit, both transfer modes: identical complex64 bits
+        (the conversion is a pure relayout, not an arithmetic change)."""
+        cd = lib.random_circuit(7, 40, seed=11)
+        nat = spill.run_out_of_core(cd, stripe_qubits=3, backend="host")
+        f32 = spill.run_out_of_core(cd, stripe_qubits=3, backend="host",
+                                    transfer="f32")
+        np.testing.assert_array_equal(nat, f32)
+
+    def test_disk_f32_vs_oracle(self, tmp_path):
+        cd = lib.qft(6)
+        wd = spill.run_out_of_core(cd, stripe_qubits=3, backend="disk",
+                                   work_dir=tmp_path, transfer="f32")
+        got = spill.collect_state(wd)
+        np.testing.assert_allclose(got, oracle.simulate(cd), atol=2e-5)
+
+    def test_f32_group_path_sync_and_pipelined(self):
+        """Cross-stripe CNOTs drive the per-slice group drain."""
+        cd = {"number_of_qubits": 6, "gates": (
+            [{"qubits": [q], "gate": "H"} for q in range(6)]
+            + [{"qubits": [0, 5], "gate": "CNOT"},
+               {"qubits": [4, 1], "gate": "CNOT"},
+               {"qubits": [3, 5], "gate": "CZ"}])}
+        want = oracle.simulate(cd)
+        for pipe in (True, False):
+            got = spill.run_out_of_core(cd, stripe_qubits=2, backend="host",
+                                        transfer="f32", pipeline=pipe)
+            np.testing.assert_allclose(got, want, atol=2e-5)
+
+    def test_f32_rejects_complex128(self):
+        with pytest.raises(ValueError, match="complex64"):
+            spill.run_out_of_core(lib.ghz(4), stripe_qubits=2,
+                                  backend="host", dtype="complex128",
+                                  transfer="f32")
+
+    def test_api_route_spill_transfer(self):
+        from quantum_simulations_tpu.api import simulate
+        from quantum_simulations_tpu.utils.config import SimulatorConfig
+
+        cd = lib.ghz(6)
+        got = simulate(cd, SimulatorConfig(stripe_qubits=3,
+                                           spill_transfer="f32"))
+        np.testing.assert_allclose(got, oracle.simulate(cd), atol=2e-5)
+
+
 def test_api_full_stack_devices_workdir_staging(tmp_path):
     """n_devices>1 + work_dir (WAL runner) + staging TOGETHER."""
     from quantum_simulations_tpu.api import simulate
