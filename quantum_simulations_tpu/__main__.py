@@ -74,7 +74,22 @@ def main(argv=None) -> int:
         "kernel_bw", "e2e", "sweep", "suite", "spill_bw",
         "baseline_configs", "capacity", "matrix", "projection"])
 
+    p_place = sub.add_parser(
+        "placement",
+        help="shard-placement report + invariant checks over the device "
+             "mesh (distribution verifier)")
+    p_place.add_argument("--devices", type=int, default=None)
+    p_place.add_argument("--qubits", type=int, default=None)
+
     args = ap.parse_args(argv)
+
+    if args.cmd == "placement":
+        from .parallel.placement import main as placement_main
+
+        rep = placement_main(n_devices=args.devices, n=args.qubits)
+        print(json.dumps(rep, indent=1))
+        return 0 if (rep["invariants"]["ok"]
+                     and rep["sharded_array_check"]["ok"]) else 1
 
     if args.cmd == "bench":
         import importlib

@@ -9,23 +9,27 @@ the reference's own host-RAM-to-disk analogue is
 hop.
 
 Measured 2026-08-19 on the v5e-via-tunnel dev setup (exact sizes
-probed — no extrapolation; round-2 rates were timed WITHOUT a per-shape
-warmup so they included trace+compile and understate the true rate):
+probed — no extrapolation; warmed runs, compile excluded):
 
-* f32 upload (device_put via jit arg):   WORKS at 4/64/512 MB
-  (round-2 compile-inclusive figures were 5-31 MB/s; re-run this probe
-  on hardware for compile-excluded rates)
+* f32 upload (device_put via jit arg):   OK — 30 / 45 / 41 MB/s at
+  4 / 64 / 512 MB
 * complex64 upload (8 MB probed):        UNIMPLEMENTED
-* f32 fetch at 64 MB:                    UNIMPLEMENTED (32 MB ok r1;
-  512 MB now probed independently)
+* f32 fetch at 64 MB and 512 MB:         UNIMPLEMENTED (<= 32 MB ok)
 * complex64 fetch (8 MB probed):         UNIMPLEMENTED
 
+CAUTION: a failed (UNIMPLEMENTED) transfer poisons the SAME process's
+subsequent fetches — after the failing fetch probes above, even a
+scalar device_get raises UNIMPLEMENTED.  Run this probe in its own
+process, never before a real bench.
+
 => streaming a 16 GiB n=31 stripe set through the tunnel would take
-~9 min per direction per pass — a dev-setup artifact, not a framework
-or TPU limit.  The spill tier is therefore demonstrated end-to-end on
-the CPU backend (full 125 GiB host DRAM; see BENCH_LOCAL.json
-``spill_tier``) and its device-side stripe programs are the same
-window/panel programs benched on-chip by the capacity tier.
+~7 min per direction per pass — a dev-setup artifact, not a framework
+or TPU limit.  Within the envelope, though, the spill tier DOES run on
+the real chip: ``spill_bw.real_chip`` streams a full n=24 state
+host<->HBM via ``transfer='f32'`` stripes (<= 32 MB fetch slices) and
+verifies on-device against the in-HBM engine (BENCH_LOCAL.json
+``spill_tier.real_chip``); larger-than-HBM scale is demonstrated
+end-to-end on the CPU backend (full 125 GiB host DRAM).
 """
 import time
 

@@ -66,10 +66,14 @@ def init_distributed(
     if process_id is None and "QST_PROCESS_ID" in os.environ:
         process_id = int(os.environ["QST_PROCESS_ID"])
 
+    # Pod-slice autodetection: only when the metadata names MORE THAN
+    # ONE worker host.  (Single-host runtimes — including this image's
+    # sitecustomize, which sets TPU_WORKER_HOSTNAMES=localhost — have
+    # nothing to rendezvous.)
     autodetect = (
         coordinator_address is None
         and num_processes is None
-        and os.environ.get("TPU_WORKER_HOSTNAMES")  # pod slice metadata
+        and "," in os.environ.get("TPU_WORKER_HOSTNAMES", "")
     )
     if coordinator_address is None and not autodetect:
         return False  # single-process run: nothing to initialize
