@@ -32,6 +32,11 @@ from ..utils.logging import EventLog, get_logger
 from .wal import WAL, FencingLock, atomic_write_bytes, atomic_write_json
 
 CRASH_ENV = "QST_CRASH_AFTER_STEP"
+# Crash MID checkpoint write: a partial .tmp is left behind, the
+# destination buffer keeps its previous (older) content, nothing was
+# renamed or committed.  Recovery must ignore the garbage tmp and
+# resume from the last committed buffer.
+CRASH_MID_ENV = "QST_CRASH_MID_CHECKPOINT"
 
 log = get_logger("runner")
 
@@ -246,6 +251,7 @@ def _run_inner(cd, work_dir, mesh, dtype, mode, use_wal, use_fusion,
         cur_buf = "b"  # first write goes to "a"
 
     crash_after = int(os.environ.get(CRASH_ENV, "-1"))
+    crash_mid = int(os.environ.get(CRASH_MID_ENV, "-1"))
 
     if not steps:  # empty circuit: the zero state is the result
         _save_state(work_dir, "a", psi)
@@ -277,6 +283,14 @@ def _run_inner(cd, work_dir, mesh, dtype, mode, use_wal, use_fusion,
         dst = "a" if cur_buf == "b" else "b"
         meta.wal_pending(run_id, step_idx)
         jax_block_until_ready(psi)
+        if crash_mid >= 0 and step_idx >= crash_mid:
+            # Die with the checkpoint half-written: truncated bytes in
+            # the .tmp, no rename (atomic_write_bytes never ran its
+            # os.replace), WAL untouched.
+            tmp = _buf_path(work_dir, dst).with_name(
+                _buf_path(work_dir, dst).name + ".tmp")
+            tmp.write_bytes(b"\x93NUMPY<truncated mid-write>")
+            os._exit(1)
         with timing.timer("runner.checkpoint"):
             sha = _save_state(work_dir, dst, psi)
         if crash_after >= 0 and step_idx >= crash_after:
@@ -320,6 +334,11 @@ def collect_state(work_dir, *, apply_permutation: bool = True) -> np.ndarray:
         buf = json.loads(wal_path.read_text())["committed_buf"]
     else:
         buf = json.loads((work_dir / "result.json").read_text())["committed_buf"]
+    if buf is None:
+        raise RuntimeError(
+            f"run in {work_dir} has no committed state yet (it crashed "
+            f"before its first checkpoint, or is still running) — "
+            f"resume it with runner.recover() before collecting")
     psi = _load_state(work_dir, buf)
     if psi.ndim == 2:  # planar (window/capacity) checkpoint: (2, 2^n) f32
         psi = (psi[0] + 1j * psi[1]).astype(np.complex64)

@@ -42,6 +42,17 @@ class WALMismatchError(RuntimeError):
     """The work dir belongs to a different circuit."""
 
 
+class WALCorruptError(RuntimeError):
+    """The WAL record is unreadable (disk corruption / manual edit).
+
+    Atomic tmp+fsync+rename means a crash can never leave a partial
+    WAL, so an unparseable record is external damage.  Fail-stop is the
+    only safe response — silently restarting from step 0 could mask
+    having lost committed work (the reference's WAL has the same
+    posture: ``wenbo_engine/wal/wal.py`` load raises on bad records).
+    """
+
+
 class WAL:
     """Step-granular write-ahead log for one circuit run.
 
@@ -55,12 +66,22 @@ class WAL:
         self.path = Path(path)
         self.hash = circuit_hash(circuit_dict) + (f"|{plan}" if plan else "")
         if self.path.exists():
-            rec = json.loads(self.path.read_text())
+            try:
+                rec = json.loads(self.path.read_text())
+                if not isinstance(rec, dict):
+                    raise ValueError("WAL record is not an object")
+                done = int(rec["done_steps"])
+            except (ValueError, KeyError, TypeError) as e:
+                raise WALCorruptError(
+                    f"WAL at {self.path} is unreadable ({e}); refusing to "
+                    f"guess progress — inspect the work dir, or delete it "
+                    f"to rerun from scratch"
+                ) from e
             if rec.get("circuit_hash") != self.hash:
                 raise WALMismatchError(
                     f"WAL at {self.path} was written by a different circuit"
                 )
-            self.done_steps = int(rec["done_steps"])
+            self.done_steps = done
             self.committed_buf = rec["committed_buf"]
         else:
             self.done_steps = 0

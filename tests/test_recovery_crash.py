@@ -27,7 +27,7 @@ REPO = Path(__file__).resolve().parent.parent
 
 
 def _run_subprocess(cd, work_dir, crash_after=None, extra="",
-                    mode="fused", dtype="complex128"):
+                    mode="fused", dtype="complex128", crash_mid=None):
     """Run the runner in a fresh process (real crash isolation)."""
     script = textwrap.dedent(f"""
         import os, sys, json
@@ -51,6 +51,10 @@ def _run_subprocess(cd, work_dir, crash_after=None, extra="",
         env[runner.CRASH_ENV] = str(crash_after)
     else:
         env.pop(runner.CRASH_ENV, None)
+    if crash_mid is not None:
+        env[runner.CRASH_MID_ENV] = str(crash_mid)
+    else:
+        env.pop(runner.CRASH_MID_ENV, None)
     return subprocess.run(
         [sys.executable, "-c", script], capture_output=True, text=True, env=env,
     )
@@ -337,3 +341,58 @@ def test_event_log_written(tmp_path, cd):
     assert "step_commit" in kinds
     assert kinds[-1] == "run_done"
     assert "runner.step" in events[-1]["metrics"]
+
+
+def test_crash_mid_checkpoint_write_recovers(tmp_path, cd):
+    """Die DURING the checkpoint write (truncated .tmp, no rename).
+
+    The worst interruption point after the post-write one: the dst
+    buffer still holds its stale previous content and a garbage .tmp
+    sits in the work dir.  Recovery must ignore both and converge.
+    (Reference analogue: partial-dst cleanup in
+    wenbo_engine/tests/test_recovery_crash.py.)
+    """
+    wd = tmp_path / "wd"
+    r = _run_subprocess(cd, wd, crash_mid=2)
+    assert r.returncode != 0
+    wal = json.loads((wd / "wal.json").read_text())
+    assert wal["done_steps"] == 2  # the mid-write step was NOT committed
+    tmps = list(wd.glob("state_*.npy.tmp"))
+    assert tmps, "expected a partial .tmp from the interrupted write"
+    assert b"truncated" in tmps[0].read_bytes()
+    r2 = _run_subprocess(cd, wd)
+    assert r2.returncode == 0, r2.stderr
+    np.testing.assert_allclose(
+        runner.collect_state(wd), oracle.simulate(cd), atol=1e-10
+    )
+
+
+def test_crash_mid_first_checkpoint_then_recover(tmp_path, cd):
+    """Mid-write crash before ANY commit: resume restarts from zero."""
+    wd = tmp_path / "wd"
+    r = _run_subprocess(cd, wd, crash_mid=0)
+    assert r.returncode != 0
+    wal = json.loads((wd / "wal.json").read_text())
+    assert wal["done_steps"] == 0 and wal["committed_buf"] is None
+    # Collecting an uncommitted run fails with a clear message, not a
+    # numpy load error on a missing buffer.
+    with pytest.raises(RuntimeError, match="no committed state"):
+        runner.collect_state(wd)
+    r2 = _run_subprocess(cd, wd)
+    assert r2.returncode == 0, r2.stderr
+    np.testing.assert_allclose(
+        runner.collect_state(wd), oracle.simulate(cd), atol=1e-10
+    )
+
+
+def test_corrupt_wal_file_fails_stop(tmp_path, cd):
+    """An unparseable WAL record is external damage: refuse to guess."""
+    from quantum_simulations_tpu.runtime.wal import WALCorruptError
+
+    wd = tmp_path / "wd"
+    runner.run(cd, wd, dtype="complex128", use_fusion=False)
+    for garbage in (b"{not json", b'{"done_steps": "soon"}',
+                    b"[1, 2, 3]"):
+        (wd / "wal.json").write_bytes(garbage)
+        with pytest.raises(WALCorruptError, match="unreadable"):
+            WAL(wd / "wal.json", cd)
