@@ -93,11 +93,15 @@ def dict_to_qiskit(circuit_dict: dict):
         raise ImportError("qiskit is not installed")
     from qiskit import QuantumCircuit
 
+    from .contract import parse_name_encoded
+
     inv_direct = {v: k for k, v in _DIRECT.items()}
     qc = QuantumCircuit(circuit_dict["number_of_qubits"])
     for g in circuit_dict["gates"]:
         name, qubits = g["gate"], g["qubits"]
         params = g.get("params") or {}
+        if not params:  # "CR2"/"R3" name-encoded form (contract.py:41)
+            name, params = parse_name_encoded(name)
         if name in inv_direct:
             getattr(qc, inv_direct[name])(*qubits)
         elif name == "RY":
