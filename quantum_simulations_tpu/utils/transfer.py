@@ -18,21 +18,104 @@ def _split_planes(x):
     return jnp.real(x), jnp.imag(x)
 
 
-def fetch_array(x) -> np.ndarray:
-    """device_get that works for complex arrays on restricted backends.
+# The axon tunnel rejects single f32 fetches >= 64 MB (measured in
+# bench/probe_transfer.py; 8-48 MB stripes run at the tunnel's full
+# ~28 MB/s).  Large fetches fall back to striped slicing at this size.
+STRIPE_BYTES = 32 << 20
 
-    The split must run under jit: eager ops can be unsupported on the
-    same backends that reject complex transfers.
+_slicer_cache: dict = {}
+
+
+def _fetch_striped(x, stripe_bytes: int) -> np.ndarray:
+    """Fetch a large array as <= stripe_bytes host copies.
+
+    One jitted program slices the (raveled) array into stripe views;
+    each output is device_get independently, so no single transfer
+    exceeds the backend's limit.  Cached per (shape, dtype, stripe).
     """
-    try:
-        return np.asarray(jax.device_get(x))
-    except Exception:
-        if jnp.dtype(x.dtype).kind != "c":
-            raise
-        re, im = _split_planes(x)
-        return (
-            np.asarray(jax.device_get(re)) + 1j * np.asarray(jax.device_get(im))
-        ).astype(np.dtype(x.dtype))
+    dt = np.dtype(x.dtype)
+    per = max(1, stripe_bytes // dt.itemsize)
+    size = int(np.prod(x.shape)) if x.shape else 1
+    nfull, tail = divmod(size, per)
+    key = (tuple(x.shape), dt.str, per)
+    fn = _slicer_cache.get(key)
+    if fn is None:
+        def slicer(a):
+            flat = jnp.ravel(a)
+            parts = [flat[i * per:(i + 1) * per] for i in range(nfull)]
+            if tail:
+                parts.append(flat[nfull * per:])
+            return tuple(parts)
+        fn = jax.jit(slicer)
+        _slicer_cache[key] = fn
+    out = np.empty(size, dt)
+    off = 0
+    for part in fn(x):
+        h = np.asarray(jax.device_get(part))
+        out[off:off + h.size] = h
+        off += h.size
+    return out.reshape(x.shape)
+
+
+_is_axon: bool | None = None
+
+
+def _on_axon_tunnel() -> bool:
+    """The axon remote-TPU tunnel reports platform 'tpu'; it is only
+    identifiable from the PJRT platform_version string."""
+    global _is_axon
+    if _is_axon is None:
+        try:
+            from jax._src import xla_bridge
+
+            ver = getattr(xla_bridge.get_backend(), "platform_version", "")
+            _is_axon = "axon" in ver
+        except Exception:
+            _is_axon = False
+    return _is_axon
+
+
+def _direct_fetch_safe(x) -> bool:
+    """Whether attempting a plain device_get is SAFE (not just likely
+    to succeed).
+
+    On the axon tunnel a *failed* complex device_get poisons the whole
+    session — every later program touching ANY complex array fails
+    with UNIMPLEMENTED (measured; NOTES_ROUND3.md) — so the complex
+    attempt must be skipped there, not try/except'd.  Failed float
+    fetches are harmless and stay on the try-then-stripe ladder.
+    Override with ``QST_FETCH_DIRECT=1`` on future backend revs.
+    """
+    import os
+
+    if os.environ.get("QST_FETCH_DIRECT"):
+        return True
+    if jnp.dtype(x.dtype).kind == "c" and _on_axon_tunnel():
+        return False
+    return True
+
+
+def fetch_array(x, *, stripe_bytes: int = STRIPE_BYTES) -> np.ndarray:
+    """device_get that works for complex and large arrays on
+    restricted backends.
+
+    Fallback ladder: plain device_get (when safe to attempt) ->
+    complex split into two float-plane fetches (each recursing here,
+    so big planes stripe too) -> striped <= 32 MB slice fetches.  The
+    splits/slices must run under jit: eager ops can be unsupported on
+    the same backends that reject the transfers.
+    """
+    if _direct_fetch_safe(x):
+        try:
+            return np.asarray(jax.device_get(x))
+        except Exception:
+            if jnp.dtype(x.dtype).kind != "c":
+                return _fetch_striped(x, stripe_bytes)
+    re, im = _split_planes(x)
+    return (
+        fetch_array(re, stripe_bytes=stripe_bytes)
+        + 1j * fetch_array(im, stripe_bytes=stripe_bytes)
+    ).astype(np.dtype(x.dtype))
 
 
 def upload_array(host: np.ndarray, *, sharding=None):
