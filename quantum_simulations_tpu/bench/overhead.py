@@ -118,6 +118,89 @@ def nonstab_variants(n: int = 28, reps: int = 10, retries: int = 3) -> list:
     return rows
 
 
+def wal_tax(n: int = 28, checkpoint_every: int = 4,
+            max_levels_per_step: int = 1) -> list:
+    """Measure the durability tax: the flagship window kernels UNDER
+    the WAL runner vs bare execution.
+
+    Three configs at n qubits (nonstab, the headline circuit):
+
+    * ``wal_ck{c}``   — WAL + checkpoint every c steps (the production
+      durability posture);
+    * ``wal_final``   — WAL on, but only the final state checkpointed;
+    * ``no_wal``      — runner with durability off (still one final
+      state save, like the reference's bare runner writing its result).
+
+    Each row decomposes wall time via the runner's own timers into
+    compile / steps / checkpoint-fetch.  ``steps_s`` is the number to
+    compare against the whole-circuit headline (0.133 s at n=28): it
+    is the same kernels dispatched per-step with donation.  The
+    checkpoint term is tunnel-bound on this dev setup (~28 MB/s; a
+    production PCIe host moves the same 2 GiB at 10+ GB/s — both the
+    measured and the projected figure are reported).
+
+    Reference analogue: fault-tolerance overhead is implicit in
+    ``wenbo_engine``'s e2e bench since every step rewrites every chunk
+    on disk; here durability is a separate, cadence-controlled cost.
+    """
+    import shutil
+    import tempfile
+
+    from ..circuit import library as lib
+    from ..runtime import runner
+    from ..utils import timing
+
+    cd = lib.non_stabilizer(n, depth=4, seed=7)
+    state_gib = 2 * (1 << n) * 4 / 2**30
+    # no_wal runs FIRST: per-step programs compile lazily on first
+    # execution (inside its step timer), and the later WAL configs hit
+    # the executor's compiled-fn cache, so their rows are warm/steady.
+    configs = [
+        ("no_wal_cold", dict(use_wal=False)),
+        ("no_wal", dict(use_wal=False)),
+        ("wal_final", dict(use_wal=True, checkpoint_every=10**9)),
+        (f"wal_ck{checkpoint_every}",
+         dict(use_wal=True, checkpoint_every=checkpoint_every)),
+    ]
+    rows = []
+    for tag, kw in configs:
+        wd = tempfile.mkdtemp(prefix=f"qst_waltax_{tag}_")
+        timing.reset()
+        t0 = time.time()
+        try:
+            runner.run(cd, wd, mode="window", resume=False,
+                       max_levels_per_step=max_levels_per_step, **kw)
+            wall = time.time() - t0
+            t = timing.snapshot()
+            timers, counts = t["timers_s"], t["counts"]
+            ck_s = timers.get("runner.checkpoint", 0.0)
+            n_ck = counts.get("runner.checkpoint.calls", 0)
+            row = {
+                "config": tag, "n": n, "gates": len(cd["gates"]),
+                "wall_s": round(wall, 2),
+                "compile_s": round(timers.get("runner.compile", 0.0), 2),
+                "steps_s": round(timers.get("runner.step", 0.0), 4),
+                "sync_s": round(timers.get("runner.sync", 0.0), 4),
+                "exec_s": round(timers.get("runner.step", 0.0)
+                                + timers.get("runner.sync", 0.0), 4),
+                "n_steps": counts.get("runner.step.calls", 0),
+                "checkpoint_s": round(ck_s, 2),
+                "n_checkpoints": n_ck,
+                "checkpoint_MB_s": round(n_ck * state_gib * 1024 / ck_s, 1)
+                if ck_s else None,
+                "projected_checkpoint_s_pcie_10GBs":
+                    round(n_ck * state_gib / 10.0, 3),
+            }
+        except Exception as e:
+            row = {"config": tag,
+                   "error": f"{type(e).__name__}: {str(e)[:160]}"}
+        finally:
+            shutil.rmtree(wd, ignore_errors=True)
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+    return rows
+
+
 def panel_scaling(n: int = 28, ks=(2, 4, 8, 16), reps: int = 6,
                   retries: int = 3) -> dict:
     """k chained lane-panel passes; fit t(k) = intercept + slope*k."""
@@ -242,6 +325,8 @@ if __name__ == "__main__":
     out = {"device": str(dev)}
     if which in ("all", "variants"):
         out["nonstab_variants"] = nonstab_variants()
+    if which == "wal":
+        out["wal_tax"] = wal_tax()
     if which in ("all", "scaling"):
         out["panel_scaling"] = panel_scaling()
     if which in ("all", "diag"):

@@ -151,12 +151,21 @@ def pack_low_panels(
 # Level batching -> steps
 # ---------------------------------------------------------------------------
 
-def batch_levels(levels: list[list[dict]], k: int) -> list[Step]:
+def batch_levels(levels: list[list[dict]], k: int,
+                 max_levels_per_step: int | None = None) -> list[Step]:
     """Batch maximal runs of all-local levels into fused steps.
 
     A level containing any non-local gate is its own step; between
     such levels, every consecutive all-local level pours into one
     step whose local ops are then 1Q-fused.
+
+    ``max_levels_per_step`` caps how many levels one step may absorb.
+    Single-chip every gate is local, so unbounded batching collapses a
+    whole circuit into ONE step — which makes the WAL runner's
+    checkpoint cadence vacuous (one commit at the end).  A bound
+    restores the reference's property that deep circuits commit
+    durable progress along the way
+    (``wenbo_engine/runner/single_node.py`` commits per batched pass).
     """
     split = [(_split_local(lv, k) if lv else ([], []), i)
              for i, lv in enumerate(levels)]
@@ -172,10 +181,12 @@ def batch_levels(levels: list[list[dict]], k: int) -> list[Step]:
                               level_indices=[idx]))
             i += 1
             continue
-        # Maximal all-local run starting here.
+        # Maximal all-local run starting here (bounded if requested).
         run_ops, run_idx = list(local), [idx]
         i += 1
         while i < len(split):
+            if max_levels_per_step and len(run_idx) >= max_levels_per_step:
+                break
             (loc2, non2), idx2 = split[i]
             if non2:
                 break
@@ -195,12 +206,13 @@ def compile_steps(
     use_fusion: bool = True,
     panel_width: int | None = None,
     panel_min_fuse: int = 2,
+    max_levels_per_step: int | None = None,
 ) -> list[Step]:
     """Full pipeline: validate -> levelize -> batch/fuse -> low-panel pack."""
     circuit_dict = validate_circuit_dict(circuit_dict)
     levels = levelize(circuit_dict)
     if use_fusion:
-        steps = batch_levels(levels, k)
+        steps = batch_levels(levels, k, max_levels_per_step)
     else:
         steps = []
         for lv_idx, level_gates in enumerate(levels):

@@ -301,6 +301,7 @@ def build_circuit_fns(
     inplace: bool = False,
     planar_io: bool = False,
     dtype=jnp.complex64,
+    max_levels_per_step: int | None = None,
 ):
     """Compile a circuit for the mesh.
 
@@ -310,6 +311,9 @@ def build_circuit_fns(
     ``mode='window'`` uses the planar Pallas window path for each
     shard's local ops (the fast single-chip kernels, now sharded);
     ``planar_io``/``inplace`` as in :func:`build_steps_fn`.
+    ``max_levels_per_step`` bounds step granularity so the durability
+    runner has real checkpoint cadence even when every gate is local
+    (see ``fusion.batch_levels``).
     """
     cd = validate_circuit_dict(circuit_dict)
     n = cd["number_of_qubits"]
@@ -322,12 +326,13 @@ def build_circuit_fns(
     key = (
         circuit_hash(cd), mesh_key, use_fusion, panel_width, per_step,
         donate, mode, interpret, inplace, planar_io,
-        jnp.dtype(dtype).name,
+        jnp.dtype(dtype).name, max_levels_per_step,
     )
     hit = _CACHE.get(key)
     if hit is not None:
         return hit
-    steps = compile_steps(cd, k=k, use_fusion=use_fusion, panel_width=panel_width)
+    steps = compile_steps(cd, k=k, use_fusion=use_fusion, panel_width=panel_width,
+                          max_levels_per_step=max_levels_per_step)
     kw = dict(donate=donate, mode=mode, interpret=interpret,
               inplace=inplace, planar_io=planar_io, dtype=dtype)
     if per_step:

@@ -105,6 +105,7 @@ def run(
     use_staging: bool = False,
     staging_method: str = "auto",
     checkpoint_every: int = 1,
+    max_levels_per_step: int | None = None,
     resume: bool = True,
     event_log: str | None = None,
 ) -> Path:
@@ -126,6 +127,13 @@ def run(
     * ``'capacity'`` — window kernels with ``input_output_aliases`` on
       every pass (the n >= 29 single-copy tier) — durability at the
       capacity ceiling.
+
+    ``max_levels_per_step`` bounds how many circuit levels one durable
+    step may absorb.  Single-chip every gate is local and unbounded
+    fusion folds the whole circuit into one step, so ``checkpoint_every``
+    would only ever see one step; a bound (e.g. 4) makes deep runs
+    commit progress at real intervals, like the reference's runner
+    committing per batched I/O pass.
 
     ``staging_method='auto'`` schedules with the heuristic reorderer
     and keeps the staged circuit only if it actually reduces exchange
@@ -168,6 +176,7 @@ def run(
         return _run_inner(
             cd, work_dir, mesh, dtype, mode, use_wal, use_fusion,
             panel_width, checkpoint_every, resume, event_log,
+            max_levels_per_step,
         )
     finally:
         if lock:
@@ -175,7 +184,8 @@ def run(
 
 
 def _run_inner(cd, work_dir, mesh, dtype, mode, use_wal, use_fusion,
-               panel_width, checkpoint_every, resume, event_log=None):
+               panel_width, checkpoint_every, resume, event_log=None,
+               max_levels_per_step=None):
     from .metadata import MetadataStore
 
     if mode not in ("fused", "window", "capacity"):
@@ -194,6 +204,7 @@ def _run_inner(cd, work_dir, mesh, dtype, mode, use_wal, use_fusion,
             per_step=True, donate=True,
             mode="window" if planar else "fused",
             inplace=inplace, planar_io=planar, dtype=dtype,
+            max_levels_per_step=max_levels_per_step,
         )
     n = cd["number_of_qubits"]
 
@@ -282,7 +293,10 @@ def _run_inner(cd, work_dir, mesh, dtype, mode, use_wal, use_fusion,
             continue
         dst = "a" if cur_buf == "b" else "b"
         meta.wal_pending(run_id, step_idx)
-        jax_block_until_ready(psi)
+        # Steps dispatch async; the chained compute drains here (the
+        # step timer alone measures dispatch, steps+sync = execution).
+        with timing.timer("runner.sync"):
+            jax_block_until_ready(psi)
         if crash_mid >= 0 and step_idx >= crash_mid:
             # Die with the checkpoint half-written: truncated bytes in
             # the .tmp, no rename (atomic_write_bytes never ran its

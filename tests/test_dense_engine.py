@@ -238,3 +238,23 @@ def test_compile_steps_classification():
     steps_all_local = compile_steps(cd, k=6, use_fusion=True)
     assert all(not s.nonlocal_ops for s in steps_all_local)
     assert len(steps_all_local) == 1  # everything batches into one pass
+
+
+def test_max_levels_per_step_bounds_batching():
+    """The step-granularity bound: all-local circuits split into
+    ceil(levels/max) steps so the WAL runner has real checkpoint
+    cadence single-chip (reference: per-pass commits,
+    wenbo_engine/runner/single_node.py)."""
+    cd = lib.qft(10)  # 19 dependency levels, all local at k=10
+    base = compile_steps(cd, k=10)
+    assert len(base) == 1
+    total_levels = sum(len(s.level_indices) for s in base)
+    for m in (1, 2, 4):
+        steps = compile_steps(cd, k=10, max_levels_per_step=m)
+        assert all(len(s.level_indices) <= m for s in steps)
+        assert sum(len(s.level_indices) for s in steps) == total_levels
+        assert len(steps) >= -(-total_levels // m)
+        # the bound never drops or duplicates work: level indices
+        # partition the original range
+        idx = [i for s in steps for i in s.level_indices]
+        assert idx == sorted(set(idx))

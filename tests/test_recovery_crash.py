@@ -396,3 +396,63 @@ def test_corrupt_wal_file_fails_stop(tmp_path, cd):
         (wd / "wal.json").write_bytes(garbage)
         with pytest.raises(WALCorruptError, match="unreadable"):
             WAL(wd / "wal.json", cd)
+
+
+def test_window_bounded_steps_cadence_and_crash(tmp_path):
+    """Deep all-local circuit + max_levels_per_step: the flagship
+    window kernels commit durable progress at a real cadence
+    single-chip, survive a mid-run kill, and resume WITHOUT redoing
+    committed steps (reference: per-pass commits in
+    wenbo_engine/runner/single_node.py:141-216)."""
+    cd = lib.qft(6)  # 11 levels, all local single-chip
+    wd = tmp_path / "wd"
+    script_kw = ("mode='window', checkpoint_every=2, "
+                 "max_levels_per_step=1")
+    import textwrap as _tw
+
+    def run_once(crash_after=None):
+        script = _tw.dedent(f"""
+            import os, sys, json
+            sys.path.insert(0, {str(REPO)!r})
+            import jax
+            jax.config.update("jax_platforms", "cpu")
+            from quantum_simulations_tpu.runtime import runner
+            cd = json.loads({json.dumps(cd)!r})
+            runner.run(cd, {str(wd)!r}, {script_kw})
+            print("COMPLETED")
+        """)
+        env = dict(os.environ)
+        env.pop("JAX_PLATFORMS", None)
+        if crash_after is not None:
+            env[runner.CRASH_ENV] = str(crash_after)
+        else:
+            env.pop(runner.CRASH_ENV, None)
+        return subprocess.run([sys.executable, "-c", script],
+                              capture_output=True, text=True, env=env)
+
+    from quantum_simulations_tpu.circuit.fusion import compile_steps
+
+    n_steps_total = len(compile_steps(cd, k=6, max_levels_per_step=1))
+    r = run_once(crash_after=5)  # dies at the step-5 checkpoint
+    assert r.returncode == 1, r.stderr
+    wal = json.loads((wd / "wal.json").read_text())
+    assert 0 < wal["done_steps"] < n_steps_total
+    committed_at_crash = wal["done_steps"]
+
+    r2 = run_once()
+    assert r2.returncode == 0, r2.stderr
+    wal2 = json.loads((wd / "wal.json").read_text())
+    assert wal2["done_steps"] == n_steps_total
+    # Resume did NOT redo committed work: step events in the log start
+    # at the crash point, and with checkpoint_every=2 there are
+    # multiple distinct commits (real cadence, not one final commit).
+    events = [json.loads(l) for l in
+              (wd / "events.jsonl").read_text().splitlines()]
+    commits = [e for e in events if e["kind"] == "step_commit"]
+    assert len({e["step"] for e in commits}) >= 4
+    resumed_steps = {e["step"] for e in commits
+                     if e["step"] >= committed_at_crash}
+    assert resumed_steps  # progress beyond the crash point
+    np.testing.assert_allclose(
+        runner.collect_state(wd), oracle.simulate(cd), atol=1e-6
+    )
