@@ -48,6 +48,12 @@ def main(argv=None) -> int:
     common.add_argument("--segment-gates", type=int, default=None,
                         help="compile as locality-cut sub-programs of "
                              "<= N gates (bounds compile time)")
+    common.add_argument("--checkpoint-every", type=int, default=1,
+                        help="WAL runner: checkpoint cadence in steps")
+    common.add_argument("--step-levels", type=int, default=None,
+                        help="WAL runner: bound circuit levels per "
+                             "durable step (real commit cadence for "
+                             "deep all-local circuits)")
 
     p_run = sub.add_parser("run", parents=[common],
                            help="simulate; print state summary")
@@ -141,6 +147,8 @@ def main(argv=None) -> int:
         stripe_qubits=args.stripe_qubits, spill_backend=args.spill_backend,
         sparse=args.sparse, use_fusion=not args.no_fusion,
         use_staging=args.staging, segment_gates=args.segment_gates,
+        checkpoint_every=args.checkpoint_every,
+        max_levels_per_step=args.step_levels,
     )
 
     if args.cmd == "sample":

@@ -103,6 +103,7 @@ def simulate(circuit_dict: dict, config: SimulatorConfig | None = None,
                 use_staging=cfg.use_staging,
                 staging_method=cfg.staging_method,
                 checkpoint_every=cfg.checkpoint_every,
+                max_levels_per_step=cfg.max_levels_per_step,
                 event_log=cfg.event_log,
             )
             return runner.collect_state(work_dir)

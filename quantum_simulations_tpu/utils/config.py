@@ -37,6 +37,9 @@ class SimulatorConfig:
     use_wal: bool = True
     use_fencing: bool = False
     checkpoint_every: int = 1
+    max_levels_per_step: int | None = None  # bound circuit levels per
+    # durable step so deep all-local runs commit progress at real
+    # intervals (single-chip, unbounded fusion = one giant step)
 
     # Out-of-core
     stripe_qubits: int | None = None   # None = in-HBM

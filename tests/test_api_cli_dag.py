@@ -184,3 +184,19 @@ def test_segmented_noop_when_shallow():
     got = api.simulate(cd, SimulatorConfig(segment_gates=100))
     ref = oracle.simulate(cd)
     np.testing.assert_allclose(got, ref.astype(np.complex64), atol=1e-6)
+
+
+def test_cli_step_levels_cadence(tmp_path):
+    """--step-levels/--checkpoint-every reach the WAL runner: a deep
+    all-local circuit commits at a real cadence, not once at the end."""
+    circ = tmp_path / "qft6.json"
+    circ.write_text(json.dumps(lib.qft(6)))
+    wd = tmp_path / "wd"
+    res = _cli(tmp_path, "run", str(circ), "--work-dir", str(wd),
+               "--step-levels", "1", "--checkpoint-every", "3")
+    assert res.returncode == 0, res.stderr
+    wal = json.loads((wd / "wal.json").read_text())
+    assert wal["done_steps"] > 4  # one step per level, not one total
+    evs = [json.loads(l) for l in (wd / "events.jsonl").read_text().splitlines()]
+    commits = [e["step"] for e in evs if e["kind"] == "step_commit"]
+    assert len(commits) >= 3  # cadence-3 commits plus the final one
