@@ -88,11 +88,18 @@ def measure_qubit(psi: jax.Array, q: int, key: jax.Array):
 def sample(psi: jax.Array, key: jax.Array, shots: int) -> jax.Array:
     """Draw bitstring samples (as integer indices) from |psi|^2.
 
-    Gumbel-max via ``jax.random.categorical`` over log-probabilities —
-    one fused pass per shot batch, no host transfer of the state.
+    Small states use Gumbel-max (``jax.random.categorical``); larger
+    ones route through the hierarchical inverse-CDF sampler (the
+    categorical would materialize (shots, 2^n) Gumbel noise — see
+    :func:`sample_bits_planar`).
     """
-    logp = jnp.log(probabilities(psi) + 1e-38)
-    return jax.random.categorical(key, logp, shape=(shots,))
+    if psi.size <= (1 << 16) or shots * psi.size <= (1 << 24):
+        logp = jnp.log(probabilities(psi) + 1e-38)
+        return jax.random.categorical(key, logp, shape=(shots,))
+    n = int(np.log2(psi.size))
+    blocks, local, lb = _hier_sample(
+        jnp.real(psi), jnp.imag(psi), key, shots, n)
+    return blocks.astype(jnp.int32) * (1 << lb) + local
 
 
 def sample_bits(psi: jax.Array, key: jax.Array, shots: int, n: int) -> jax.Array:
@@ -183,31 +190,82 @@ def top_amplitudes_planar(re: jax.Array, im: jax.Array, k: int = 8):
     return idx, topv, amp_re, amp_im
 
 
-def sample_bits_planar(re: jax.Array, im: jax.Array, key: jax.Array,
-                       shots: int, n: int) -> jax.Array:
-    """Bitstring samples from f32 planes — hierarchical Gumbel-max.
+def _chunked_invcdf(cdf: jax.Array, prob_rows, u_b: jax.Array,
+                    u_l: jax.Array, shots: int, L: int, B: int,
+                    chunk: int = 512):
+    """Exact two-level inverse-CDF draw with a bounded working set.
 
-    (1) Per-block probability masses (one fused pass, only (B,)
-    materializes); a categorical over block masses picks each shot's
-    block.  (2) The chosen blocks are gathered ((shots, L) — small) and
-    a batched categorical picks within-block offsets.  Equivalent to
-    sampling |psi|^2 exactly; no 2^n probability or log-prob vector is
-    ever built (the complex-path sampler's 4 GiB logp at n=30 doesn't
-    fit next to the planes).  Returns (shots, n) int8, column q =
-    qubit q.
+    ``cdf`` is the (B,) cumulative block-mass vector; ``prob_rows(blk)``
+    returns the (chunk, L) probability rows for a chunk of block picks.
+    Shots are processed in ``lax.map`` chunks so the peak gathered
+    footprint is (chunk, L), independent of the shot count — unlike a
+    Gumbel-max categorical, which materializes (shots, B) noise (at
+    2^15 blocks and 10^6 shots that is >100 GB).  Returns per-shot
+    (block, offset) int32 arrays.
+    """
+    chunk = min(chunk, shots)
+    pad = (-shots) % chunk
+    ub = jnp.pad(u_b, (0, pad))
+    ul = jnp.pad(u_l, (0, pad))
+    nb = (shots + pad) // chunk
+
+    def pick(args):
+        ub_c, ul_c = args
+        blk = jnp.clip(jnp.searchsorted(cdf, ub_c, side="right"),
+                       0, B - 1).astype(jnp.int32)
+        p = prob_rows(blk)
+        c = jnp.cumsum(p, axis=1)
+        tgt = ul_c[:, None].astype(c.dtype) * c[:, -1:]
+        loc = jnp.sum((c < tgt).astype(jnp.int32), axis=1)
+        return blk, jnp.clip(loc, 0, L - 1)
+
+    blks, locs = jax.lax.map(
+        pick, (ub.reshape(nb, chunk), ul.reshape(nb, chunk)))
+    return blks.reshape(-1)[:shots], locs.reshape(-1)[:shots]
+
+
+def _hier_sample(re: jax.Array, im: jax.Array, key: jax.Array,
+                 shots: int, n: int):
+    """Hierarchical exact sampler over (re, im) planes.
+
+    Level 1: block masses (one fused pass; only (B,) materializes) and
+    an inverse-CDF block pick per shot.  Level 2: chunked within-block
+    inverse-CDF on the gathered rows.  Both levels use the exact
+    cumulative distribution, so this samples |psi|^2 exactly (up to f32
+    mass rounding) with O(B + chunk*L) memory.  Returns
+    (blocks, offsets, block_bits).
     """
     lb = _block_bits(n)
     L = 1 << lb
     B = re.size >> lb
-
-    s = jnp.sum((re * re + im * im).reshape(B, L), axis=1)
+    rr = re.reshape(B, L)
+    ri = im.reshape(B, L)
+    s = jnp.sum(rr * rr + ri * ri, axis=1)
+    cdf = jnp.cumsum(s)
     key_b, key_l = jax.random.split(key)
-    blocks = jax.random.categorical(key_b, jnp.log(s + 1e-38),
-                                    shape=(shots,))
-    rr = re.reshape(B, L)[blocks]
-    ri = im.reshape(B, L)[blocks]
-    local = jax.random.categorical(key_l, jnp.log(rr * rr + ri * ri + 1e-38),
-                                   axis=-1)
+    u_b = jax.random.uniform(key_b, (shots,), dtype=cdf.dtype) * cdf[-1]
+    u_l = jax.random.uniform(key_l, (shots,), dtype=cdf.dtype)
+
+    def prob_rows(blk):
+        r = rr[blk]
+        i = ri[blk]
+        return r * r + i * i
+
+    blocks, local, = _chunked_invcdf(cdf, prob_rows, u_b, u_l, shots, L, B)
+    return blocks, local, lb
+
+
+def sample_bits_planar(re: jax.Array, im: jax.Array, key: jax.Array,
+                       shots: int, n: int) -> jax.Array:
+    """Bitstring samples from f32 planes — hierarchical inverse-CDF.
+
+    Exact sampling of |psi|^2 with no 2^n probability or log-prob
+    vector and no (shots, B) noise tensor ever built (the complex-path
+    categorical's 4 GiB logp at n=30 doesn't fit next to the planes;
+    Gumbel noise at bench shot counts wouldn't fit anywhere) — see
+    :func:`_hier_sample`.  Returns (shots, n) int8, column q = qubit q.
+    """
+    blocks, local, lb = _hier_sample(re, im, key, shots, n)
     qs_lo = jnp.arange(lb, dtype=jnp.int32)
     lo_bits = ((local[:, None] >> qs_lo[None, :]) & 1).astype(jnp.int8)
     qs_hi = jnp.arange(n - lb, dtype=blocks.dtype)
@@ -331,15 +389,17 @@ def sample_bits_sharded(psi: jax.Array, key: jax.Array, shots: int, n: int,
                         mesh) -> jax.Array:
     """Bitstring sampling from a MESH-SHARDED state, fully SPMD.
 
-    Hierarchical Gumbel-max: (1) each device reduces its shard's total
+    Hierarchical: (1) each device reduces its shard's total
     probability, an ``all_gather`` of D scalars picks the owning shard
-    per shot; (2) every device draws a local categorical over its own
-    2^k amplitudes and a ``psum``-masked select keeps the owner's draw.
-    No device ever sees the full 2^n vector and nothing is gathered to
-    the host — this is what makes the 30-34q sampling targets feasible
-    (the single-chip path builds the full log-prob vector).  Returns a
-    (shots, n) int8 bit matrix, column q = qubit q; local indices stay
-    int32 (k <= 31), so no x64 is needed at any n.
+    per shot; (2) every device draws shots from its own 2^k amplitudes
+    via the chunked two-level inverse-CDF (``_chunked_invcdf``) and a
+    ``psum``-masked select keeps the owner's draw.  No device ever sees
+    the full 2^n vector, nothing is gathered to the host, and no
+    (shots, 2^k) noise tensor exists (a flat Gumbel categorical over a
+    2^30-amp shard would need 4 TB at 1000 shots) — this is what makes
+    the 30-34q sampling targets feasible.  Returns a (shots, n) int8
+    bit matrix, column q = qubit q; local indices stay int32 (k <= 31),
+    so no x64 is needed at any n.
     """
     from jax import lax, shard_map
     from jax.sharding import PartitionSpec as P
@@ -348,21 +408,30 @@ def sample_bits_sharded(psi: jax.Array, key: jax.Array, shots: int, n: int,
 
     k = shard_width(mesh, n)
     d = n - k
+    lb = _block_bits(k)
+    L = 1 << lb
 
     def body(shard, key):
         shard = shard.reshape(-1)
         i = lax.axis_index(AXIS)
-        p = probabilities(shard)
-        totals = lax.all_gather(jnp.sum(p), AXIS)  # (D,) tiny
+        B = shard.size >> lb
+        rows = shard.reshape(B, L)
+        s = jnp.sum(probabilities(rows), axis=1)  # fused pass, (B,)
+        totals = lax.all_gather(jnp.sum(s), AXIS)  # (D,) tiny
         key_shard, key_local = jax.random.split(key)
         # Same key on every device -> identical shard choices.
         shard_choice = jax.random.categorical(
             key_shard, jnp.log(totals + 1e-38), shape=(shots,))
-        local = jax.random.categorical(
-            jax.random.fold_in(key_local, i),
-            jnp.log(p + 1e-38), shape=(shots,))
+        cdf = jnp.cumsum(s)
+        key_blk, key_loc = jax.random.split(jax.random.fold_in(key_local, i))
+        u_b = jax.random.uniform(key_blk, (shots,), dtype=cdf.dtype) * cdf[-1]
+        u_l = jax.random.uniform(key_loc, (shots,), dtype=cdf.dtype)
+        blocks, offs = _chunked_invcdf(
+            cdf, lambda blk: probabilities(rows[blk]), u_b, u_l,
+            shots, L, B)
+        local = blocks * L + offs
         mine = (shard_choice == i).astype(jnp.int32)
-        local_idx = lax.psum(local.astype(jnp.int32) * mine, AXIS)
+        local_idx = lax.psum(local * mine, AXIS)
         qs = jnp.arange(k, dtype=jnp.int32)
         local_bits = ((local_idx[:, None] >> qs[None, :]) & 1).astype(jnp.int8)
         if d == 0:

@@ -135,6 +135,52 @@ def test_sampling_distribution():
     assert abs(counts[0] / 4000 - 0.5) < 0.05
 
 
+def test_sample_large_path_deterministic():
+    # 2^18 amps, shots*size > 2^24 -> routes through the hierarchical
+    # inverse-CDF sampler (_hier_sample), not the flat categorical.
+    target = (5 << 9) + 3  # crosses a block boundary at lb=9
+    psi = jnp.zeros(1 << 18, dtype=jnp.complex64).at[target].set(1.0)
+    samples = np.asarray(sampling.sample(psi, jax.random.PRNGKey(2), 300))
+    assert (samples == target).all()
+
+
+def test_sample_large_path_distribution():
+    # Mass spread over four indices in different 2^9-blocks; 4000 shots
+    # exercises multiple _chunked_invcdf chunks (chunk=512) plus the
+    # padded remainder.
+    idx = [0, (5 << 9) + 3, 1 << 17, (1 << 18) - 1]
+    amps = np.sqrt([0.4, 0.3, 0.2, 0.1])
+    psi = np.zeros(1 << 18, dtype=np.complex64)
+    psi[idx] = amps
+    samples = np.asarray(
+        sampling.sample(jnp.asarray(psi), jax.random.PRNGKey(3), 4000))
+    assert set(np.unique(samples)) <= set(idx)
+    for j, p in zip(idx, [0.4, 0.3, 0.2, 0.1]):
+        assert abs((samples == j).mean() - p) < 0.04
+
+
+def test_chunked_invcdf_matches_numpy_inverse_cdf():
+    """Same uniforms -> the JAX chunked pick equals numpy's searchsorted."""
+    rng = np.random.default_rng(11)
+    B, L = 32, 64
+    p = rng.random((B, L)).astype(np.float32)
+    s = p.sum(axis=1)
+    cdf = np.cumsum(s)
+    shots = 700  # > chunk and not a multiple of it
+    u_b = (rng.random(shots) * cdf[-1]).astype(np.float32)
+    u_l = rng.random(shots).astype(np.float32)
+    blk_np = np.clip(np.searchsorted(cdf, u_b, side="right"), 0, B - 1)
+    rows = p[blk_np]
+    c = np.cumsum(rows, axis=1)
+    loc_np = np.clip(
+        (c < u_l[:, None] * c[:, -1:]).sum(axis=1), 0, L - 1)
+    blk, loc = sampling._chunked_invcdf(
+        jnp.asarray(cdf), lambda b: jnp.asarray(p)[b],
+        jnp.asarray(u_b), jnp.asarray(u_l), shots, L, B)
+    np.testing.assert_array_equal(np.asarray(blk), blk_np)
+    np.testing.assert_array_equal(np.asarray(loc), loc_np)
+
+
 def test_sample_bits_layout():
     # |q0=1, q1=0, q2=1> = index 5.
     psi = jnp.zeros(8, dtype=jnp.complex128).at[5].set(1.0)
