@@ -123,8 +123,93 @@ def run(ns=(30,), reps: int = 3, retries: int = 3, only=None) -> dict:
     return {"device": str(dev), "rows": rows}
 
 
+def sample_run(n: int = 30, shots: int = 1_000_000, reps: int = 3,
+               depth: int = 8) -> dict:
+    """Measured ON-DEVICE sampling from a capacity-tier state.
+
+    Runs a sycamore-like n-qubit circuit at the capacity tier (planar
+    in-place execution), then draws ``shots`` bitstrings with the
+    hierarchical inverse-CDF planar sampler
+    (:func:`..ops.sampling.sample_bits_planar`): no 2^n probability
+    vector, no (shots, B) noise tensor — the peak sampler footprint is
+    one (512, 2^15) gathered chunk per plane.  The per-qubit one-counts
+    reduce on-device (the (shots, n) bit matrix never crosses the
+    tunnel), giving both the completion barrier and a frequency sanity
+    check.  This is the measured analogue of the reference's
+    sample-from-state path (``state_vector.hpp:829-1003``) at a size
+    its in-RAM tier cannot reach.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..circuit import library as lib
+    from ..ops import dense, sampling
+    from ..runtime import simulator
+
+    dev = setup_platform()
+    warm_grant()
+
+    cd = lib.sycamore_like(n, depth=depth, seed=11)
+    P = jax.ShapeDtypeStruct((1 << n,), jnp.float32)
+    K = jax.ShapeDtypeStruct((2,), jnp.uint32)
+    row = {"config": f"sycamore{n}", "n": n, "gates": len(cd["gates"]),
+           "shots": shots, "device": str(dev)}
+
+    t0 = time.time()
+    fn = simulator.build_window_circuit_fn(
+        cd, dtype=jnp.complex64, planar_io=True, inplace=True, donate=True)
+    circ = _compile_with_retries(lambda: fn.lower(P, P).compile())
+    row["circuit_compile_s"] = round(time.time() - t0, 1)
+
+    t0 = time.time()
+    samp = _compile_with_retries(lambda: jax.jit(
+        lambda re, im, key: jnp.sum(
+            sampling.sample_bits_planar(re, im, key, shots, n)
+            .astype(jnp.int32), axis=0)
+    ).lower(P, P, K).compile())
+    row["sampler_compile_s"] = round(time.time() - t0, 1)
+    try:
+        ma = samp.memory_analysis()
+        row["sampler_temp_mib"] = round(ma.temp_size_in_bytes / (1 << 20), 1)
+    except Exception:
+        pass
+
+    init = jax.jit(lambda: dense.zero_state_planar(n)).lower().compile()
+    re, im = init()
+    t0 = time.time()
+    re, im = circ(re, im)
+    norm2 = jax.jit(
+        lambda a, b: jnp.sum(a * a) + jnp.sum(b * b)).lower(P, P).compile()
+    row["norm2"] = round(float(jax.device_get(norm2(re, im))), 6)
+    row["circuit_s_incl_warm"] = round(time.time() - t0, 2)
+
+    key = jax.random.PRNGKey(0)
+    counts = samp(re, im, key)          # warm
+    jax.device_get(counts)
+    t0 = time.time()
+    for r in range(reps):
+        counts = samp(re, im, jax.random.PRNGKey(r + 1))
+    counts = jax.device_get(counts)     # scalar-ish (n,) fetch
+    dt = (time.time() - t0) / reps
+    frac = counts / shots
+    row.update({
+        "sample_s": round(dt, 4),
+        "shots_per_s": round(shots / dt, 1),
+        "ones_frac_min": round(float(frac.min()), 4),
+        "ones_frac_max": round(float(frac.max()), 4),
+    })
+    print(json.dumps(row), flush=True)
+    return row
+
+
 if __name__ == "__main__":
     import sys
+
+    if len(sys.argv) > 1 and sys.argv[1] == "sample":
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 30
+        shots = int(sys.argv[3]) if len(sys.argv) > 3 else 1_000_000
+        print(json.dumps(sample_run(n=n, shots=shots), indent=1))
+        sys.exit(0)
 
     # Args: ints select n values; tags like "qft30" select single
     # configs (implying their n).
