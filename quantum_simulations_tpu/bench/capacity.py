@@ -151,7 +151,7 @@ def sample_run(n: int = 30, shots: int = 1_000_000, reps: int = 3,
 
     cd = lib.sycamore_like(n, depth=depth, seed=11)
     P = jax.ShapeDtypeStruct((1 << n,), jnp.float32)
-    K = jax.ShapeDtypeStruct((2,), jnp.uint32)
+    K = jax.ShapeDtypeStruct((), jnp.int32)
     row = {"config": f"sycamore{n}", "n": n, "gates": len(cd["gates"]),
            "shots": shots, "device": str(dev)}
 
@@ -162,9 +162,13 @@ def sample_run(n: int = 30, shots: int = 1_000_000, reps: int = 3,
     row["circuit_compile_s"] = round(time.time() - t0, 1)
 
     t0 = time.time()
+    # The key is derived in-program from a scalar seed arg: eager
+    # PRNGKey creation is a host->device transfer the axon tunnel
+    # can't do (NOTES_ROUND1 ground rule 4).
     samp = _compile_with_retries(lambda: jax.jit(
-        lambda re, im, key: jnp.sum(
-            sampling.sample_bits_planar(re, im, key, shots, n)
+        lambda re, im, seed: jnp.sum(
+            sampling.sample_bits_planar(
+                re, im, jax.random.PRNGKey(seed), shots, n)
             .astype(jnp.int32), axis=0)
     ).lower(P, P, K).compile())
     row["sampler_compile_s"] = round(time.time() - t0, 1)
@@ -183,12 +187,13 @@ def sample_run(n: int = 30, shots: int = 1_000_000, reps: int = 3,
     row["norm2"] = round(float(jax.device_get(norm2(re, im))), 6)
     row["circuit_s_incl_warm"] = round(time.time() - t0, 2)
 
-    key = jax.random.PRNGKey(0)
-    counts = samp(re, im, key)          # warm
+    import numpy as np
+
+    counts = samp(re, im, np.int32(0))  # warm
     jax.device_get(counts)
     t0 = time.time()
     for r in range(reps):
-        counts = samp(re, im, jax.random.PRNGKey(r + 1))
+        counts = samp(re, im, np.int32(r + 1))
     counts = jax.device_get(counts)     # scalar-ish (n,) fetch
     dt = (time.time() - t0) / reps
     frac = counts / shots

@@ -211,8 +211,12 @@ def real_chip(n: int = 24, stripe_qubits: int = 21, depth: int = 2,
         "transfer": "f32",
     }
     if verify:
-        ref = simulator.simulate(cd, mode="window")
-        ref.block_until_ready()
+        from ..ops import dense
+
+        # State creation must happen INSIDE a jitted program on axon
+        # (eager jnp.zeros of complex is UNIMPLEMENTED over the tunnel).
+        init = jax.jit(lambda: dense.zero_state(n, jnp.complex64))()
+        ref = simulator.simulate(cd, mode="window", initial_state=init)
         cmp = jax.jit(lambda x32, r: (
             jnp.max(jnp.abs(spill._f32_to_c64(x32) - r)),
             jnp.vdot(r, r).real.astype(jnp.float32)))
