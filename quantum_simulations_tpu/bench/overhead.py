@@ -186,7 +186,8 @@ def wal_tax(n: int = 28, checkpoint_every: int = 4,
                 "n_steps": counts.get("runner.step.calls", 0),
                 "checkpoint_s": round(ck_s, 2),
                 "n_checkpoints": n_ck,
-                "checkpoint_MB_s": round(n_ck * state_gib * 1024 / ck_s, 1)
+                "checkpoint_MB_s": round(
+                    n_ck * state_gib * (1 << 30) / 1e6 / ck_s, 1)
                 if ck_s else None,
                 "projected_checkpoint_s_pcie_10GBs":
                     round(n_ck * state_gib / 10.0, 3),

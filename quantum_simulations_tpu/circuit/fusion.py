@@ -158,6 +158,8 @@ def batch_levels(levels: list[list[dict]], k: int,
     A level containing any non-local gate is its own step; between
     such levels, every consecutive all-local level pours into one
     step whose local ops are then 1Q-fused.
+    ``max_levels_per_step`` must be ``None`` (unbounded) or >= 1 — a
+    cap of 0 is rejected rather than silently meaning "unbounded".
 
     ``max_levels_per_step`` caps how many levels one step may absorb.
     Single-chip every gate is local, so unbounded batching collapses a
@@ -167,6 +169,10 @@ def batch_levels(levels: list[list[dict]], k: int,
     durable progress along the way
     (``wenbo_engine/runner/single_node.py`` commits per batched pass).
     """
+    if max_levels_per_step is not None and max_levels_per_step < 1:
+        raise ValueError(
+            f"max_levels_per_step must be None or >= 1, "
+            f"got {max_levels_per_step!r}")
     split = [(_split_local(lv, k) if lv else ([], []), i)
              for i, lv in enumerate(levels)]
     steps: list[Step] = []
@@ -185,7 +191,8 @@ def batch_levels(levels: list[list[dict]], k: int,
         run_ops, run_idx = list(local), [idx]
         i += 1
         while i < len(split):
-            if max_levels_per_step and len(run_idx) >= max_levels_per_step:
+            if max_levels_per_step is not None \
+                and len(run_idx) >= max_levels_per_step:
                 break
             (loc2, non2), idx2 = split[i]
             if non2:

@@ -92,14 +92,26 @@ def sample(psi: jax.Array, key: jax.Array, shots: int) -> jax.Array:
     ones route through the hierarchical inverse-CDF sampler (the
     categorical would materialize (shots, 2^n) Gumbel noise — see
     :func:`sample_bits_planar`).
+
+    The hierarchical path composes indices as ``blocks * 2^lb +
+    local``; without x64 that arithmetic is int32, so n is capped at
+    31 there (with ``jax_enable_x64`` it upcasts to int64 and the cap
+    lifts).  Beyond that, sample per-qubit bits via
+    :func:`sample_bits` / ``sample_bits_planar`` instead.
     """
     if psi.size <= (1 << 16) or shots * psi.size <= (1 << 24):
         logp = jnp.log(probabilities(psi) + 1e-38)
         return jax.random.categorical(key, logp, shape=(shots,))
     n = int(np.log2(psi.size))
+    x64 = jax.config.read("jax_enable_x64")
+    if n > 31 and not x64:
+        raise ValueError(
+            f"sample(): n={n} > 31 would overflow the int32 index "
+            "composition; enable jax_enable_x64 or use sample_bits()")
     blocks, local, lb = _hier_sample(
         jnp.real(psi), jnp.imag(psi), key, shots, n)
-    return blocks.astype(jnp.int32) * (1 << lb) + local
+    idt = jnp.int64 if x64 else jnp.int32
+    return blocks.astype(idt) * (1 << lb) + local.astype(idt)
 
 
 def sample_bits(psi: jax.Array, key: jax.Array, shots: int, n: int) -> jax.Array:

@@ -29,49 +29,62 @@ _slicer_cache: dict = {}
 def _fetch_striped(x, stripe_bytes: int) -> np.ndarray:
     """Fetch a large array as <= stripe_bytes host copies.
 
-    One jitted program slices the (raveled) array into stripe views;
-    each output is device_get independently, so no single transfer
-    exceeds the backend's limit.  Cached per (shape, dtype, stripe).
+    One cached jitted program takes a *traced* offset and returns a
+    single ``lax.dynamic_slice`` stripe, so at most one stripe (plus
+    the source) is resident on device per iteration — the previous
+    all-stripes-as-one-tuple formulation transiently doubled the
+    device footprint, which can OOM at exactly the capacity-tier
+    sizes this path exists for.  Cached per (shape, dtype, stripe).
     """
     dt = np.dtype(x.dtype)
     per = max(1, stripe_bytes // dt.itemsize)
     size = int(np.prod(x.shape)) if x.shape else 1
     nfull, tail = divmod(size, per)
     key = (tuple(x.shape), dt.str, per)
-    fn = _slicer_cache.get(key)
-    if fn is None:
-        def slicer(a):
-            flat = jnp.ravel(a)
-            parts = [flat[i * per:(i + 1) * per] for i in range(nfull)]
-            if tail:
-                parts.append(flat[nfull * per:])
-            return tuple(parts)
-        fn = jax.jit(slicer)
-        _slicer_cache[key] = fn
+    fns = _slicer_cache.get(key)
+    if fns is None:
+        def slice_full(a, off):
+            return jax.lax.dynamic_slice(jnp.ravel(a), (off,), (per,))
+
+        def slice_tail(a):
+            return jax.lax.dynamic_slice(
+                jnp.ravel(a), (nfull * per,), (tail,))
+
+        fns = (jax.jit(slice_full), jax.jit(slice_tail) if tail else None)
+        _slicer_cache[key] = fns
+    slice_full, slice_tail = fns
     out = np.empty(size, dt)
-    off = 0
-    for part in fn(x):
-        h = np.asarray(jax.device_get(part))
-        out[off:off + h.size] = h
-        off += h.size
+    for i in range(nfull):
+        part = slice_full(x, i * per)
+        out[i * per:(i + 1) * per] = np.asarray(jax.device_get(part))
+        del part  # drop the device stripe before slicing the next one
+    if tail:
+        part = slice_tail(x)
+        out[nfull * per:] = np.asarray(jax.device_get(part))
+        del part
     return out.reshape(x.shape)
 
 
 _is_axon: bool | None = None
 
 
-def _on_axon_tunnel() -> bool:
+def _on_axon_tunnel() -> bool | None:
     """The axon remote-TPU tunnel reports platform 'tpu'; it is only
-    identifiable from the PJRT platform_version string."""
+    identifiable from the PJRT platform_version string.
+
+    Reads the *public* PJRT surface (``device.client.platform_version``)
+    rather than ``jax._src`` internals.  Returns ``None`` when the
+    string cannot be read at all — callers gating complex transfers
+    must then fail closed (a failed complex device_get on axon poisons
+    the whole session, so "unknown" may not be treated as "safe").
+    """
     global _is_axon
     if _is_axon is None:
         try:
-            from jax._src import xla_bridge
-
-            ver = getattr(xla_bridge.get_backend(), "platform_version", "")
-            _is_axon = "axon" in ver
+            ver = str(jax.devices()[0].client.platform_version)
         except Exception:
-            _is_axon = False
+            return None
+        _is_axon = "axon" in ver
     return _is_axon
 
 
@@ -90,7 +103,10 @@ def _direct_fetch_safe(x) -> bool:
 
     if os.environ.get("QST_FETCH_DIRECT"):
         return True
-    if jnp.dtype(x.dtype).kind == "c" and _on_axon_tunnel():
+    if jnp.dtype(x.dtype).kind == "c" and _on_axon_tunnel() is not False:
+        # True -> axon, must skip.  None -> platform string unreadable:
+        # fail closed, since a failed complex fetch on axon is
+        # session-poisoning while the split-plane path is safe anywhere.
         return False
     return True
 
