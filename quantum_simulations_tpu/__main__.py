@@ -15,12 +15,13 @@ import sys
 from pathlib import Path
 
 
-def _load_circuit(path: str) -> dict:
+def _load_circuit(path: str, trajectory: bool = False) -> dict:
     p = Path(path)
     if p.suffix == ".qasm":
         from .circuit.import_qasm import load_qasm
 
-        return load_qasm(p)
+        return load_qasm(
+            p, nonunitary="trajectory" if trajectory else "error")
     return json.loads(p.read_text())
 
 
@@ -50,6 +51,12 @@ def main(argv=None) -> int:
                              "<= N gates (bounds compile time)")
     common.add_argument("--checkpoint-every", type=int, default=1,
                         help="WAL runner: checkpoint cadence in steps")
+    common.add_argument(
+        "--trajectory", action="store_true",
+        help="accept RESET / mid-circuit measure / if(creg==v) "
+             "(QASM) and run one seeded trajectory")
+    common.add_argument("--trajectory-seed", type=int, default=0,
+                        help="seed for trajectory measurement draws")
     common.add_argument("--step-levels", type=int, default=None,
                         help="WAL runner: bound circuit levels per "
                              "durable step (real commit cadence for "
@@ -104,7 +111,8 @@ def main(argv=None) -> int:
         print(json.dumps(mod.run(), indent=1))
         return 0
 
-    cd = _load_circuit(args.circuit)
+    cd = _load_circuit(args.circuit,
+                       trajectory=getattr(args, "trajectory", False))
 
     if args.cmd == "export":
         if args.format == "qasm":
@@ -149,6 +157,7 @@ def main(argv=None) -> int:
         use_staging=args.staging, segment_gates=args.segment_gates,
         checkpoint_every=args.checkpoint_every,
         max_levels_per_step=args.step_levels,
+        trajectory_seed=args.trajectory_seed,
     )
 
     if args.cmd == "sample":

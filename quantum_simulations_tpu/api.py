@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .circuit.contract import validate_circuit_dict
+from .circuit.contract import has_nonunitary, validate_circuit_dict
 from .utils.config import SimulatorConfig
 
 
@@ -31,9 +31,22 @@ def simulate(circuit_dict: dict, config: SimulatorConfig | None = None,
     """Run a circuit under the given config; returns the final state.
 
     Sparse runs return a :class:`sparse.engine.SparseState` instead of
-    a dense array (it may not fit memory densely).
+    a dense array (it may not fit memory densely).  Circuits containing
+    RESET / mid-circuit MEASURE / conditional gates route to the
+    trajectory tier (seeded by ``config.trajectory_seed``).
     """
     cfg = config or SimulatorConfig()
+    if has_nonunitary(circuit_dict):
+        import jax.numpy as jnp
+
+        from .runtime.trajectory import simulate_trajectory
+
+        psi, _, _ = simulate_trajectory(
+            circuit_dict, seed=cfg.trajectory_seed,
+            dtype=jnp.dtype(cfg.dtype), use_fusion=cfg.use_fusion,
+            panel_width=cfg.panel_width,
+        )
+        return psi
     cd = validate_circuit_dict(circuit_dict)
 
     if cfg.log_level:
@@ -131,7 +144,15 @@ def sample(circuit_dict: dict, shots: int, *, seed: int = 0,
     from .ops import sampling
 
     cfg = config or SimulatorConfig()
-    n = validate_circuit_dict(circuit_dict)["number_of_qubits"]
+    n = validate_circuit_dict(
+        circuit_dict, allow_nonunitary=has_nonunitary(circuit_dict),
+    )["number_of_qubits"]
+    if has_nonunitary(circuit_dict):
+        import jax.numpy as jnp
+
+        psi = simulate(circuit_dict, cfg)  # trajectory tier
+        return np.asarray(sampling.sample_bits(
+            jnp.asarray(psi), jax.random.PRNGKey(seed), shots, n))
     if (cfg.n_devices or 1) > 1 and not cfg.sparse and cfg.stripe_qubits is None:
         # Sharded tier: keep the state on the mesh and sample SPMD —
         # no host gather of the 2^n vector (the 30-34q target sizes

@@ -52,15 +52,39 @@ def parse_name_encoded(raw: str) -> tuple[str, dict]:
 
 _TOP_KEYS = ("number_of_qubits", "gates")
 _GATE_KEYS = ("qubits", "gate", "params")
-_INT_PARAMS = frozenset({"k", "p", "exponent"})
+_GATE_KEYS_NONUNITARY = ("qubits", "gate", "params", "cond")
+_INT_PARAMS = frozenset({"k", "p", "exponent", "cbit"})
+
+#: Non-unitary instructions (trajectory tier only; the reference's QASM
+#: driver silently DROPS ``reset`` — ``qasm_assembler_standalone.py:525``
+#: prints "is not supported" — and cannot parse ``if(...)`` at all).
+NONUNITARY_OPS = frozenset({"RESET", "MEASURE"})
 
 
 def _strict_int(v: Any) -> bool:
     return isinstance(v, int) and not isinstance(v, bool)
 
 
-def validate_circuit_dict(d: dict[str, Any], *, core_only: bool = False) -> dict:
-    """Validate and normalise a circuit dict.  Raises ValueError on bad input."""
+def has_nonunitary(d: dict[str, Any]) -> bool:
+    """True if the circuit contains RESET/MEASURE or conditional gates
+    (requires the trajectory tier)."""
+    for g in d.get("gates", ()):
+        if not isinstance(g, dict):
+            continue
+        if g.get("gate") in NONUNITARY_OPS or "cond" in g:
+            return True
+    return False
+
+
+def validate_circuit_dict(d: dict[str, Any], *, core_only: bool = False,
+                          allow_nonunitary: bool = False) -> dict:
+    """Validate and normalise a circuit dict.  Raises ValueError on bad input.
+
+    ``allow_nonunitary=True`` additionally accepts the trajectory-tier
+    instructions: ``RESET`` (1 qubit), ``MEASURE`` (1 qubit, params
+    ``creg``/``cbit``) and a ``cond`` key ``{"creg": str, "value": int}``
+    on any unitary gate (classically-controlled execution).
+    """
     if not isinstance(d, dict):
         raise ValueError(f"circuit must be a dict, not {type(d).__name__}")
     absent = [k for k in _TOP_KEYS if k not in d]
@@ -78,12 +102,26 @@ def validate_circuit_dict(d: dict[str, Any], *, core_only: bool = False) -> dict
         raise ValueError(f"gates must be a list, not {type(gates).__name__}")
     return {
         "number_of_qubits": n,
-        "gates": [_validate_gate(g, n, i, core_only)
+        "gates": [_validate_gate(g, n, i, core_only, allow_nonunitary)
                   for i, g in enumerate(gates)],
     }
 
 
-def _validate_gate(g: Any, nq: int, idx: int, core_only: bool) -> dict:
+def _validate_cond(cond: Any, bad) -> dict:
+    if not isinstance(cond, dict):
+        bad(f"cond must be a dict, not {type(cond).__name__}")
+    stray = [k for k in cond if k not in ("creg", "value")]
+    if stray:
+        bad(f"cond: unknown keys {set(stray)}; allowed: ['creg', 'value']")
+    if not isinstance(cond.get("creg"), str):
+        bad("cond.creg must be a string")
+    if not _strict_int(cond.get("value")) or cond["value"] < 0:
+        bad("cond.value must be a non-negative int")
+    return {"creg": cond["creg"], "value": cond["value"]}
+
+
+def _validate_gate(g: Any, nq: int, idx: int, core_only: bool,
+                   allow_nonunitary: bool = False) -> dict:
     def bad(problem: str):
         raise ValueError(f"gate[{idx}]: {problem}")
 
@@ -91,13 +129,32 @@ def _validate_gate(g: Any, nq: int, idx: int, core_only: bool) -> dict:
         bad(f"each gate must be a dict, not {type(g).__name__}")
     if "qubits" not in g or "gate" not in g:
         bad("a gate needs both 'qubits' and 'gate'")
-    stray = [k for k in g if k not in _GATE_KEYS]
+    allowed = _GATE_KEYS_NONUNITARY if allow_nonunitary else _GATE_KEYS
+    stray = [k for k in g if k not in allowed]
     if stray:
-        bad(f"unknown keys {set(stray)}; allowed: {list(_GATE_KEYS)}")
+        bad(f"unknown keys {set(stray)}; allowed: {list(allowed)}")
 
     raw = g["gate"]
     if not isinstance(raw, str):
         bad(f"gate name must be a string, not {type(raw).__name__}")
+
+    if allow_nonunitary and raw in NONUNITARY_OPS:
+        qubits = g["qubits"]
+        if not (isinstance(qubits, list) and len(qubits) == 1
+                and _strict_int(qubits[0]) and 0 <= qubits[0] < nq):
+            bad(f"{raw} takes exactly one in-range qubit")
+        if "cond" in g:
+            bad(f"{raw} cannot itself be conditional")
+        out = {"qubits": list(qubits), "gate": raw, "params": {}}
+        if raw == "MEASURE":
+            p = g.get("params") or {}
+            if not isinstance(p.get("creg"), str):
+                bad("MEASURE requires params.creg (classical register name)")
+            if not _strict_int(p.get("cbit")) or p["cbit"] < 0:
+                bad("MEASURE requires params.cbit (non-negative bit index)")
+            out["params"] = {"creg": p["creg"], "cbit": p["cbit"]}
+        return out
+
     base, name_params = parse_name_encoded(raw)
     if base not in (G.CORE_GATES if core_only else G.ALL_GATES):
         bad(f"unsupported gate {raw!r}")
@@ -127,7 +184,10 @@ def _validate_gate(g: Any, nq: int, idx: int, core_only: bool) -> dict:
         elif not isinstance(v, _NUMERIC) or isinstance(v, bool):
             bad(f"param {key!r} must be numeric, got {v!r}")
 
-    return {"qubits": list(qubits), "gate": base, "params": params}
+    out = {"qubits": list(qubits), "gate": base, "params": params}
+    if "cond" in g:
+        out["cond"] = _validate_cond(g["cond"], bad)
+    return out
 
 
 # ---------------------------------------------------------------------------

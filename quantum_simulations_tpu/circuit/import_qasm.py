@@ -12,7 +12,13 @@ recursive parser for the OpenQASM 2.0 subset those benchmarks use:
 * ``gate`` definitions (custom gates are inlined recursively),
 * constant parameter expressions (pi arithmetic: + - * / ( ) unary),
 * ``barrier`` and ``measure`` are skipped (statevector semantics),
-  ``reset``/``if`` raise.
+  ``reset``/``if`` raise — unless ``nonunitary="trajectory"`` is
+  passed, in which case ``reset``/``measure``/``if(creg==val)`` are
+  emitted as trajectory-tier instructions (RESET / MEASURE / ``cond``;
+  see ``runtime/trajectory.py``).  The reference's QASM driver
+  silently DROPS reset (``qasm_assembler_standalone.py:525``) and
+  cannot parse ``if`` at all; the trajectory tier runs both with real
+  seeded-measurement semantics.
 """
 from __future__ import annotations
 
@@ -137,13 +143,29 @@ def _split_args(s: str) -> list[str]:
     return out
 
 
-def qasm_to_dict(src: str) -> dict:
-    """Parse OpenQASM 2.0 source into a circuit dict."""
+_MEASURE = re.compile(
+    r"^measure\s+(\w+)(?:\[\s*(\d+)\s*\])?\s*->\s*(\w+)(?:\[\s*(\d+)\s*\])?$")
+_IF = re.compile(r"^if\s*\(\s*(\w+)\s*==\s*(\d+)\s*\)\s*(.+)$", re.S)
+
+
+def qasm_to_dict(src: str, *, nonunitary: str = "error") -> dict:
+    """Parse OpenQASM 2.0 source into a circuit dict.
+
+    ``nonunitary``: ``"error"`` (default) raises on reset/if and skips
+    measure; ``"trajectory"`` emits RESET/MEASURE instructions and
+    ``cond`` gate annotations for the trajectory tier.
+    """
+    if nonunitary not in ("error", "trajectory"):
+        raise ValueError(f"nonunitary must be 'error' or 'trajectory', "
+                         f"got {nonunitary!r}")
+    trajectory = nonunitary == "trajectory"
     stmts = _split_statements(src)
     qregs: dict[str, tuple[int, int]] = {}  # name -> (offset, size)
+    cregs: dict[str, int] = {}  # name -> size
     n_total = 0
     gates_out: list[dict] = []
     custom: dict[str, dict] = {}
+    cond_ctx: dict | None = None  # active if(creg==val) condition
 
     def resolve_operand(tok: str, subst: dict[str, int] | None):
         tok = tok.strip()
@@ -200,24 +222,29 @@ def qasm_to_dict(src: str) -> dict:
 
         for qubits in combos:
             if lname in _GATE_MAP_0:
-                gates_out.append({"qubits": qubits, "gate": _GATE_MAP_0[lname]})
+                gd = {"qubits": qubits, "gate": _GATE_MAP_0[lname]}
             elif lname in _GATE_MAP_1:
                 gname, pname = _GATE_MAP_1[lname]
-                gates_out.append({"qubits": qubits, "gate": gname,
-                                  "params": {pname: vals[0]}})
+                gd = {"qubits": qubits, "gate": gname,
+                      "params": {pname: vals[0]}}
             elif lname in ("u3", "u"):
-                gates_out.append({"qubits": qubits, "gate": "U", "params": {
-                    "theta": vals[0], "phi": vals[1], "lam": vals[2]}})
+                gd = {"qubits": qubits, "gate": "U", "params": {
+                    "theta": vals[0], "phi": vals[1], "lam": vals[2]}}
             elif lname == "u2":
-                gates_out.append({"qubits": qubits, "gate": "U2", "params": {
-                    "phi": vals[0], "lam": vals[1]}})
+                gd = {"qubits": qubits, "gate": "U2", "params": {
+                    "phi": vals[0], "lam": vals[1]}}
             elif lname == "ch":
                 # controlled-H via CU.
                 s2 = 1 / math.sqrt(2)
-                gates_out.append({"qubits": qubits, "gate": "CU", "params": {
-                    "U": [[s2, s2], [s2, -s2]], "exponent": 1}})
+                gd = {"qubits": qubits, "gate": "CU", "params": {
+                    "U": [[s2, s2], [s2, -s2]], "exponent": 1}}
+            elif lname == "reset" and trajectory:
+                gd = {"qubits": qubits, "gate": "RESET"}
             else:
                 raise QasmError(f"unsupported gate {name!r}")
+            if cond_ctx is not None:
+                gd = {**gd, "cond": dict(cond_ctx)}
+            gates_out.append(gd)
 
     def _expand_custom(lname, vals, operand_toks, outer_subst):
         d = custom[lname]
@@ -237,6 +264,30 @@ def qasm_to_dict(src: str) -> dict:
             emit(m.group(1), m.group(2),
                  _split_args(m.group(3)), bindings, qmap)
 
+    def emit_measure(st: str):
+        m = _MEASURE.match(st)
+        if not m:
+            raise QasmError(f"cannot parse measure: {st!r}")
+        qname, qidx, cname, cidx = m.groups()
+        if cname not in cregs:
+            raise QasmError(f"unknown classical register {cname!r}")
+        qs = resolve_operand(qname if qidx is None else f"{qname}[{qidx}]",
+                             None)
+        if cidx is None:
+            cbits = list(range(len(qs))) if len(qs) > 1 else [0]
+            if len(qs) > cregs[cname]:
+                raise QasmError(f"measure: {cname} too small")
+        else:
+            cbits = [int(cidx)]
+            if len(qs) != 1:
+                raise QasmError("measure: register -> single bit")
+            if cbits[0] >= cregs[cname]:
+                raise QasmError(f"measure: bit {cbits[0]} out of range "
+                                f"for {cname}[{cregs[cname]}]")
+        for q, cb in zip(qs, cbits):
+            gates_out.append({"qubits": [q], "gate": "MEASURE",
+                              "params": {"creg": cname, "cbit": cb}})
+
     for st in stmts:
         low = st.lower()
         if low.startswith("openqasm") or low.startswith("include"):
@@ -246,7 +297,9 @@ def qasm_to_dict(src: str) -> dict:
             qregs[m.group(1)] = (n_total, int(m.group(2)))
             n_total += int(m.group(2))
             continue
-        if _CREG.match(st):
+        m = _CREG.match(st)
+        if m:
+            cregs[m.group(1)] = int(m.group(2))
             continue
         m = _GATEDEF.match(st)
         if m:
@@ -257,9 +310,35 @@ def qasm_to_dict(src: str) -> dict:
                 "body": _split_statements(body),
             }
             continue
-        if low.startswith("measure") or low.startswith("barrier"):
+        if low.startswith("barrier"):
             continue
-        if low.startswith("reset") or low.startswith("if"):
+        if low.startswith("measure"):
+            if trajectory:
+                emit_measure(st)
+            continue
+        if low.startswith("if"):
+            if not trajectory:
+                raise QasmError(f"unsupported statement: {st!r}")
+            m = _IF.match(st)
+            if not m:
+                raise QasmError(f"cannot parse if-statement: {st!r}")
+            cname, val, inner = m.groups()
+            if cname not in cregs:
+                raise QasmError(f"unknown classical register {cname!r}")
+            inner = inner.strip()
+            if inner.lower().startswith("measure"):
+                raise QasmError("conditional measure is not supported")
+            mi = _APPLY.match(inner)
+            if not mi:
+                raise QasmError(f"cannot parse conditional body: {inner!r}")
+            cond_ctx = {"creg": cname, "value": int(val)}
+            try:
+                emit(mi.group(1), mi.group(2), _split_args(mi.group(3)),
+                     {}, None)
+            finally:
+                cond_ctx = None
+            continue
+        if low.startswith("reset") and not trajectory:
             raise QasmError(f"unsupported statement: {st!r}")
         m = _APPLY.match(st)
         if m:
@@ -272,6 +351,6 @@ def qasm_to_dict(src: str) -> dict:
     return {"number_of_qubits": n_total, "gates": gates_out}
 
 
-def load_qasm(path) -> dict:
+def load_qasm(path, *, nonunitary: str = "error") -> dict:
     with open(path) as f:
-        return qasm_to_dict(f.read())
+        return qasm_to_dict(f.read(), nonunitary=nonunitary)

@@ -78,6 +78,75 @@ def probabilities(psi: np.ndarray) -> np.ndarray:
     return (psi.real**2 + psi.imag**2).astype(np.float64)
 
 
+def _p1(psi: np.ndarray, q: int) -> float:
+    n = int(np.log2(psi.size))
+    x = probabilities(psi).reshape(1 << (n - q - 1), 2, 1 << q)
+    return float(x[:, 1, :].sum())
+
+
+def _collapse(psi: np.ndarray, q: int, outcome: int,
+              flip_to_zero: bool = False) -> np.ndarray:
+    """Project qubit q onto |outcome>, renormalize; optionally map the
+    kept plane back to |0> (RESET semantics)."""
+    n = int(np.log2(psi.size))
+    x = psi.reshape(1 << (n - q - 1), 2, 1 << q)
+    keep = x[:, outcome, :]
+    out = np.zeros_like(x)
+    dest = 0 if flip_to_zero else outcome
+    out[:, dest, :] = keep
+    out = out.reshape(psi.size)
+    nrm = np.sqrt(probabilities(out).sum())
+    if nrm == 0.0:
+        raise FloatingPointError(
+            f"collapse of qubit {q} onto |{outcome}> has zero probability")
+    return out / nrm
+
+
+def simulate_trajectory(circuit_dict: dict, *, seed: int = 0,
+                        initial_state: np.ndarray | None = None):
+    """Oracle for the trajectory tier: RESET / MEASURE / conditional
+    gates with seeded measurement outcomes.
+
+    One uniform draw is consumed per RESET/MEASURE in gate order
+    (outcome 1 iff ``u < P(1)``), so an engine sharing the seed and
+    draw order follows the identical trajectory.  Returns
+    ``(psi, cregs, outcomes)`` where ``cregs`` maps register name ->
+    integer value and ``outcomes`` is the per-measurement bit list.
+
+    Semantics the reference lacks: its QASM driver drops ``reset``
+    (``qasm_assembler_standalone.py:525``) and cannot parse ``if``.
+    """
+    from ..circuit.contract import validate_circuit_dict as _v
+
+    cd = _v(circuit_dict, allow_nonunitary=True)
+    n = cd["number_of_qubits"]
+    psi = zero_state(n) if initial_state is None else np.array(
+        initial_state, dtype=np.complex128, copy=True)
+    rng = np.random.default_rng(seed)
+    cregs: dict[str, int] = {}
+    outcomes: list[int] = []
+    for g in cd["gates"]:
+        name = g["gate"]
+        if name in ("RESET", "MEASURE"):
+            q = g["qubits"][0]
+            u = float(rng.random())
+            outcome = int(u < _p1(psi, q))
+            outcomes.append(outcome)
+            psi = _collapse(psi, q, outcome, flip_to_zero=(name == "RESET"))
+            if name == "MEASURE":
+                p = g["params"]
+                val = cregs.get(p["creg"], 0)
+                bit = 1 << p["cbit"]
+                cregs[p["creg"]] = (val & ~bit) | (bit if outcome else 0)
+            continue
+        cond = g.get("cond")
+        if cond is not None and cregs.get(cond["creg"], 0) != cond["value"]:
+            continue
+        U = G.gate_matrix(name, g["params"])
+        psi = apply_gate(psi, g["qubits"], U)
+    return psi, cregs, outcomes
+
+
 def fidelity_overlap(a: np.ndarray, b: np.ndarray) -> float:
     """|<a|b>| — phase-invariant state comparison (dual-oracle metric)."""
     return float(abs(np.vdot(a, b)))

@@ -52,6 +52,10 @@ class SimulatorConfig:
     sparse: bool | str = False
     sparse_threshold: float = 1e-15
 
+    # Trajectory tier (RESET / mid-circuit MEASURE / conditional gates):
+    # seed for the measurement-outcome draws.
+    trajectory_seed: int = 0
+
     # Observability
     log_level: str = "INFO"
     event_log: str | None = None
