@@ -551,6 +551,14 @@ def apply_gate(psi: jnp.ndarray, qubits: tuple[int, ...], U, *, lane_bits: int |
         return apply_diag_bcast(psi, qubits, U, lane_bits=lane_bits)
     low = [q for q in qubits if q < lane]
     high = [q for q in qubits if q >= lane]
+    if isinstance(U, np.ndarray) and jax.default_backend() == "cpu":
+        # XLA:CPU compiles the constant-dispatch graphs (structural-zero
+        # skipping + baked plane coefficients) pathologically for long
+        # chains of non-diagonal gates — a 71-gate n=18 QASMBench
+        # circuit took >300 s vs 3 s through the traced-operand form of
+        # the SAME dispatcher.  TPU (the production backend) keeps the
+        # constant form, whose zero-skipping is measured-faster there.
+        U = jnp.asarray(U, dtype=psi.dtype)
     if not low:
         if len(qubits) <= 2:
             return apply_mq(psi, qubits, U)

@@ -23,12 +23,23 @@ from ..ops import dense
 
 
 def apply_local_ops(psi: jnp.ndarray, ops: list) -> jnp.ndarray:
-    """Apply a list of local ops (GateOp | LowPanelOp) to a flat shard."""
+    """Apply a list of local ops (GateOp | LowPanelOp) to a flat shard.
+
+    On the CPU backend an ``optimization_barrier`` separates the ops:
+    XLA:CPU over-fuses long chains of gather-shaped gate updates into
+    one mega-fusion whose per-element recomputation grows with chain
+    depth (a 71-gate n=18 QASMBench circuit ran >300 s fused vs 3 s
+    barriered).  TPU keeps free rein — its fusions (diag epilogues
+    into matmuls etc.) are the measured-fast path.
+    """
+    barrier = jax.default_backend() == "cpu"
     for op in ops:
         if isinstance(op, LowPanelOp):
             psi = dense.apply_low_panel(psi, op.W)
         else:
             psi = dense.apply_gate(psi, op.qubits, op.U)
+        if barrier:
+            psi = jax.lax.optimization_barrier(psi)
     return psi
 
 
@@ -97,6 +108,7 @@ def build_panel_circuit_fn(
     # panel + transpose passes on v5e (41 ms vs 14+23 ms at n=28), so
     # the ops run as scheduled.
     def fn(psi):
+        barrier = jax.default_backend() == "cpu"  # see apply_local_ops
         for op in ops:
             if isinstance(op, PanelOp):
                 psi = dense.apply_low_panel(psi, op.W)
@@ -104,6 +116,8 @@ def build_panel_circuit_fn(
                 psi = dense.rotate_bits_right(psi, op.r)
             else:
                 psi = dense.apply_gate(psi, op.qubits, op.U)
+            if barrier:
+                psi = jax.lax.optimization_barrier(psi)
         if shift % n:
             psi = dense.rotate_bits_right(psi, (n - shift) % n)
         return psi
@@ -456,6 +470,10 @@ def build_window_circuit_fn(
             # the scheduler emits minimal-width positioned panels.
             re, im = apply_window_op(re, im, op, dtype, interpret, inplace,
                                      diag_terms=dterms)
+            if jax.default_backend() == "cpu" and not inplace:
+                # XLA:CPU mega-fusion recomputation blowup — see
+                # apply_local_ops.
+                re, im = jax.lax.optimization_barrier((re, im))
             if inplace:
                 # Capacity mode: pin the schedule to one op at a time.
                 # Without the barrier XLA's latency-hiding scheduler

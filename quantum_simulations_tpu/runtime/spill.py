@@ -66,6 +66,46 @@ def _remap_ops(step: Step, m: int, bits: list[int]) -> list:
     return out
 
 
+def _remap_ops_mesh(step: Step, m: int, bits: list[int], d: int) -> list:
+    """Step ops in the SHARDED stacked frame (distributed out-of-core).
+
+    The stacked group is uploaded as a (2^r, 2^m) array sharded
+    ``P(None, AXIS)``: each device holds every group member's
+    contiguous 2^(m-d) sub-block, so per-shard bit layout is
+
+        [0, m-d)            stripe-local bits   (global qubits 0..m-d)
+        [m-d, m-d+r)        host group bits     (global qubits m+bits[t])
+        >= k_eff = m-d+r    device bits         (global qubits m-d..m)
+
+    Host-group gates become plain local gates; device-bit gates keep
+    qubits >= k_eff so ``exchange.apply_nonlocal`` sees device bit
+    ``q - k_eff`` — the same XOR-offset machinery as the HBM-resident
+    sharded tier.  This composes the reference's two scaling axes
+    (distribution over disk chunks, ``wenbo_engine/runner/
+    spark_runner.py:128-136``, and out-of-core tiering,
+    ``docs/architecture.md:410-427``) in one frame.
+    """
+    lo = m - d
+    k_eff = lo + len(bits)
+    pos = {b: lo + t for t, b in enumerate(bits)}
+
+    def remap(q: int) -> int:
+        if q < lo:
+            return q
+        if q >= m:
+            return pos[q - m]
+        return k_eff + (q - lo)  # device bit
+
+    out = []
+    for op in list(step.local_ops) + list(step.nonlocal_ops):
+        if isinstance(op, GateOp):
+            out.append(GateOp(qubits=tuple(remap(q) for q in op.qubits),
+                              U=op.U, name=op.name))
+        else:  # LowPanelOp: qubits all < panel lane width <= m-d
+            out.append(op)
+    return out
+
+
 class _FnCache:
     """jit cache keyed by step index (ops differ per step)."""
 
@@ -90,6 +130,34 @@ class _FnCache:
         self._cache[key] = fn
         return fn
 
+    def get_mesh(self, key, mesh, ops, k_eff):
+        """Sharded group program: local/group gates per shard, device-bit
+        gates via XOR-offset ppermute (see :func:`_remap_ops_mesh`)."""
+        hit = self._cache.get(key)
+        if hit is not None:
+            return hit
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from ..ops import exchange
+        from ..parallel.mesh import AXIS
+
+        def body(x):
+            shard = x.reshape(-1)
+            for op in ops:
+                if isinstance(op, GateOp) and max(op.qubits) >= k_eff:
+                    shard = exchange.apply_nonlocal(
+                        shard, AXIS, k_eff, op.qubits, op.U)
+                else:
+                    shard = apply_local_ops(shard, [op])
+            return shard.reshape(x.shape)
+
+        run = shard_map(body, mesh=mesh, in_specs=P(None, AXIS),
+                        out_specs=P(None, AXIS))
+        fn = jax.jit(run, donate_argnums=(0,))
+        self._cache[key] = fn
+        return fn
+
 
 def run_out_of_core(
     circuit_dict: dict,
@@ -105,8 +173,18 @@ def run_out_of_core(
     staging_method: str = "auto",
     pipeline: bool = True,
     transfer: str = "native",
+    mesh=None,
 ) -> np.ndarray | Path:
     """Simulate with the state held outside HBM.
+
+    ``mesh``: a :class:`jax.sharding.Mesh` distributes every stripe
+    (and stripe-group stack) across the devices — the composition of
+    the out-of-core and sharded tiers for states beyond the
+    *aggregate* HBM of a pod.  Stripe bits [0, m-d) stay shard-local,
+    bits [m-d, m) ride the XOR-offset ICI exchange, bits >= m are
+    host stripe-index bits handled by stack-and-relabel, exactly
+    mirroring the reference's Spark-executors-over-disk-chunks
+    composition (``wenbo_engine/runner/spark_runner.py:128-136``).
 
     backend='host': amplitudes in host DRAM (returns the final numpy
     state; ``use_wal`` is ignored — host buffers don't survive the
@@ -133,6 +211,21 @@ def run_out_of_core(
     cd = validate_circuit_dict(circuit_dict)
     n = cd["number_of_qubits"]
     m = min(stripe_qubits, n)
+
+    d = 0
+    if mesh is not None:
+        d = int(np.log2(mesh.size))
+        if (1 << d) != mesh.size:
+            raise ValueError("mesh size must be a power of two")
+        if m - d < 1:
+            raise ValueError(
+                f"stripe_qubits={m} leaves no shard-local bits on a "
+                f"{mesh.size}-device mesh")
+        if transfer == "f32":
+            raise ValueError("transfer='f32' is single-device only")
+        if panel_width is not None:
+            # low panels must stay within the shard-local bits
+            panel_width = max(1, min(panel_width, m - d))
 
     log2phys = None
     if use_staging and m < n:
@@ -168,6 +261,17 @@ def run_out_of_core(
     def _down(arr: np.ndarray) -> np.ndarray:
         """Fetched device output -> host complex stripe."""
         return arr.view(np.complex64) if f32_io else arr
+
+    def _up_mesh(arr: np.ndarray, r: int):
+        """Stacked group -> (2^r, 2^m) array sharded over the mesh
+        (device bits = the stripe's top d bits; see _remap_ops_mesh)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import AXIS
+
+        a = np.ascontiguousarray(arr).reshape(1 << r, 1 << m)
+        return jax.device_put(
+            jnp.asarray(a, dtype=dtype), NamedSharding(mesh, P(None, AXIS)))
 
     steps = compile_steps(cd, k=m, use_fusion=use_fusion, panel_width=panel_width)
     cache = _FnCache()
@@ -210,11 +314,14 @@ def run_out_of_core(
         step = steps[step_idx]
         bits = _group_bits(step, m)
         r = len(bits)
-        ops = _remap_ops(step, m, bits)
         key = (step_idx,)
-        fn = cache.get(key, ops, f32_io=f32_io)
+        if mesh is not None:
+            fn = cache.get_mesh(key, mesh, _remap_ops_mesh(step, m, bits, d),
+                                m - d + r)
+        else:
+            fn = cache.get(key, _remap_ops(step, m, bits), f32_io=f32_io)
 
-        if r == 0:
+        if r == 0 and mesh is None:
             # Depth-2 software pipeline: the next stripe's H2D upload and
             # device compute are dispatched before the previous result is
             # drained to host, so transfer/compute/write overlap (the
@@ -255,7 +362,7 @@ def run_out_of_core(
                         seg = np.asarray(out[2 * j * L:2 * (j + 1) * L])
                         _write_stripe(dst, s, _down(seg))
                 else:
-                    p_host = np.asarray(out)
+                    p_host = np.asarray(out).reshape(-1)
                     for j, s in enumerate(members):
                         _write_stripe(dst, s, p_host[j * L:(j + 1) * L])
 
@@ -273,7 +380,8 @@ def run_out_of_core(
                             s |= group_masks[t]
                     members.append(s)
                 stacked = np.concatenate([src.read(s) for s in members])
-                out = fn(_up(stacked))
+                out = fn(_up_mesh(stacked, r) if mesh is not None
+                         else _up(stacked))
                 if not pipeline:
                     _drain_group(members, out)
                     continue
