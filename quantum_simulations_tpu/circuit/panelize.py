@@ -500,8 +500,88 @@ def compile_window_ops(
             out.extend(PhysGateOp(p, _SWAP4, "SWAP") for p in pairs)
 
     return _fuse_panel_pairs(_decompose_terminal_bitperm(_merge_swap_runs(
-        _merge_diag_runs(out, layout_safe=layout_safe_diag,
-                         terms_only=diag_terms_only)), n))
+        _coalesce_panels_global(
+            _merge_diag_runs(out, layout_safe=layout_safe_diag,
+                             terms_only=diag_terms_only), n)), n))
+
+
+def _op_support(op) -> set[int] | None:
+    """Qubit support of an op, or None for reorder barriers.
+
+    A WindowPanelOp acts as identity on window qubits its gates never
+    touch, so its support is the union of its run's qubits — tighter
+    than the whole window, which is what lets panels from different
+    scheduler phases slide past each other.
+    """
+    if isinstance(op, WindowPanelOp):
+        if op.run:
+            return {op.pos + q for rel, _U in op.run for q in rel}
+        w_used = int(np.log2(op.W.shape[0]))
+        return set(range(op.pos, op.pos + w_used))
+    if isinstance(op, (PhysGateOp, DiagOp)):
+        return set(op.qubits)
+    return None
+
+
+def _coalesce_panels_global(ops: list, n: int) -> list:
+    """Cross-phase panel coalescing: merge window panels separated by
+    commuting ops.
+
+    The phase-by-phase scheduler emits one panel per (phase, window)
+    bucket; dependency chains fragment late gates into many 1-2 gate
+    panels (nonstab28: 9 of 14 HBM passes carried ~31 of 223 gates).
+    Panels whose supports are disjoint commute exactly, so a later
+    panel may bubble left past disjoint-support ops and compose into
+    an earlier panel when the union of their gates still fits one
+    valid window — same legality rule as the within-phase bucket
+    coalescer, applied globally.  ``QST_PANEL_GLOBAL_COALESCE=0``
+    reverts.
+    """
+    import os as _os
+
+    if _os.environ.get("QST_PANEL_GLOBAL_COALESCE", "1") == "0":
+        return ops
+    from ..ops.dense import compose_low_panel
+
+    ops = list(ops)
+    changed = True
+    while changed:
+        changed = False
+        for j in range(len(ops)):
+            b = ops[j]
+            if not isinstance(b, WindowPanelOp) or not b.run:
+                continue
+            sup_b = _op_support(b)
+            i = j - 1
+            while i >= 0:
+                a = ops[i]
+                sup_a = _op_support(a)
+                if sup_a is None:
+                    break  # barrier (bit perms etc.)
+                if isinstance(a, WindowPanelOp) and a.run:
+                    union = sorted(sup_a | sup_b)
+                    s = _fit_start(union, n, PANEL_W)
+                    if s is not None:
+                        w_eff = min(PANEL_W, n - s)
+                        run = tuple(
+                            (tuple(q + a.pos - s for q in rel), U)
+                            for rel, U in a.run
+                        ) + tuple(
+                            (tuple(q + b.pos - s for q in rel), U)
+                            for rel, U in b.run
+                        )
+                        ops[i] = WindowPanelOp(
+                            s, compose_low_panel(list(run), w_eff),
+                            a.n_fused + b.n_fused, run=run)
+                        del ops[j]
+                        changed = True
+                        break
+                if sup_a & sup_b:
+                    break  # non-commuting: cannot bubble further left
+                i -= 1
+            if changed:
+                break
+    return ops
 
 
 def _fuse_panel_pairs(ops: list) -> list:
