@@ -86,6 +86,9 @@ def _load():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint64,
         ]
         getattr(lib, name).restype = ctypes.c_double
+    lib.qst_alloc_state.argtypes = [ctypes.c_uint64]
+    lib.qst_alloc_state.restype = ctypes.c_void_p
+    lib.qst_free_state.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
     _lib = lib
     AVAILABLE = True
     return lib
@@ -199,3 +202,45 @@ def state_equal(a: np.ndarray, b: np.ndarray, tol: float = 1e-10) -> bool:
     """Elementwise state comparison within ``tol``
     (reference: state_equal, hisvsim_repo/state_vector.hpp:1003)."""
     return state_max_diff(a, b) <= tol
+
+
+def alloc_state(n_amps: int, dtype=np.complex128) -> np.ndarray:
+    """NUMA-interleaved zeroed state buffer as a numpy array.
+
+    Portable equivalent of the reference's ``numa_alloc_interleaved``
+    state allocation (hisvsim_repo/state_vector.hpp:104): anonymous
+    mmap first-touched page-strided by all OpenMP threads in the same
+    schedule(static) order the gate loops use, so pages interleave
+    across sockets and the strided kernels read node-local memory.
+    Free with :func:`free_state` — plain ``del`` leaks the mapping.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native engine unavailable: {BUILD_ERROR}")
+    dtype = np.dtype(dtype)
+    if dtype not in (np.dtype(np.complex64), np.dtype(np.complex128)):
+        raise TypeError(f"unsupported dtype {dtype}")
+    nbytes = int(n_amps) * dtype.itemsize
+    ptr = lib.qst_alloc_state(nbytes)
+    if not ptr:
+        raise MemoryError(f"qst_alloc_state({nbytes}) failed")
+    buf = (ctypes.c_char * nbytes).from_address(ptr)
+    arr = np.frombuffer(buf, dtype=dtype)
+    _ALLOCS[arr.ctypes.data] = (ptr, nbytes)
+    return arr
+
+
+def free_state(arr: np.ndarray) -> None:
+    """Release a buffer returned by :func:`alloc_state`.
+
+    The caller must drop every view first; the mapping is gone after
+    this call and stale views would fault on access.
+    """
+    lib = _load()
+    key = arr.ctypes.data
+    ptr, nbytes = _ALLOCS.pop(key)
+    if lib is not None:
+        lib.qst_free_state(ptr, nbytes)
+
+
+_ALLOCS: dict[int, tuple[int, int]] = {}

@@ -16,9 +16,14 @@
 // Build: see build.py (g++ -O3 -march=native -fopenmp -shared -fPIC).
 
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <cmath>
 #include <complex>
+
+#if defined(__linux__)
+#include <sys/mman.h>
+#endif
 
 #if defined(_OPENMP)
 #include <omp.h>
@@ -318,6 +323,46 @@ double qst_state_max_diff_c64(const void* a, const void* b, u64 n) {
 double qst_state_max_diff_c128(const void* a, const void* b, u64 n) {
     return state_max_diff(reinterpret_cast<const std::complex<double>*>(a),
                           reinterpret_cast<const std::complex<double>*>(b), n);
+}
+
+// NUMA-aware state allocation.  The reference interleaves its state
+// buffer across sockets with numa_alloc_interleaved
+// (hisvsim_repo/state_vector.hpp:104); the portable equivalent is
+// anonymous mmap + page-strided first-touch from ALL OpenMP threads in
+// the same schedule(static) order the gate loops use: under Linux's
+// default first-touch policy each page lands on the touching thread's
+// node, so the strided pair loops read mostly node-local memory on
+// multi-socket hosts.  Falls back to plain mmap touch (single thread)
+// without OpenMP, and to malloc off Linux.
+void* qst_alloc_state(u64 bytes) {
+    if (bytes == 0) return nullptr;
+#if defined(__linux__)
+    void* p = mmap(nullptr, bytes, PROT_READ | PROT_WRITE,
+                   MAP_PRIVATE | MAP_ANONYMOUS, -1, 0);
+    if (p == MAP_FAILED) return nullptr;
+    const u64 page = 4096;
+    const u64 n_pages = (bytes + page - 1) / page;
+    volatile char* c = reinterpret_cast<volatile char*>(p);
+#if defined(_OPENMP)
+#pragma omp parallel for schedule(static)
+#endif
+    for (long long i = 0; i < (long long)n_pages; ++i) {
+        c[u64(i) * page] = 0;  // materialize page on the touching node
+    }
+    return p;
+#else
+    return std::calloc(bytes, 1);
+#endif
+}
+
+void qst_free_state(void* p, u64 bytes) {
+    if (p == nullptr) return;
+#if defined(__linux__)
+    munmap(p, bytes);
+#else
+    (void)bytes;
+    std::free(p);
+#endif
 }
 
 }  // extern "C"

@@ -138,3 +138,29 @@ def test_native_state_equal_mismatch_raises():
         native.state_max_diff(a, a.astype(np.complex64))
     with pytest.raises(ValueError):
         native.state_max_diff(a, a[:8].copy())
+
+
+@pytest.mark.parametrize("dtype", [np.complex64, np.complex128])
+def test_native_alloc_state_runs_circuit(dtype):
+    """NUMA-interleaved buffer (first-touch mmap) behaves as a normal
+    zeroed state: run a GHZ circuit in place, compare to the oracle,
+    then free (reference: numa_alloc_interleaved,
+    hisvsim_repo/state_vector.hpp:104)."""
+    n = 12
+    psi = native.alloc_state(1 << n, dtype=dtype)
+    assert psi.size == 1 << n and psi.dtype == dtype
+    assert not psi.flags.owndata  # backed by the engine's mapping
+    np.testing.assert_array_equal(psi, 0)
+    psi[0] = 1.0
+    native.apply_1q(psi, 0, G.H())
+    for q in range(n - 1):
+        native.apply_2q(psi, q, q + 1, G.CNOT())
+    want = oracle.simulate(lib.ghz(n)).astype(dtype)
+    atol = 1e-6 if dtype == np.complex64 else 1e-12
+    np.testing.assert_allclose(psi, want, atol=atol)
+    native.free_state(psi)
+
+
+def test_native_alloc_state_rejects_bad_dtype():
+    with pytest.raises(TypeError):
+        native.alloc_state(16, dtype=np.float32)
