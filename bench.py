@@ -7,9 +7,11 @@ out-of-core (139 s, complex64) on its benchmark machine
 (``wenbo_engine/docs/v3_comparison.md:45-62``).
 
 Executed in fixed-window planar-Pallas mode with planar end-to-end
-io: the whole circuit compiles to 16 HBM passes (Gauss 3-mult MXU
+io: the whole circuit compiles to 6 HBM passes (Gauss 3-mult MXU
 panel kernels + Pallas pair/mixed straddler kernels + terms-only
-fused-diag merging) with full-precision accumulation.  Results are
+fused-diag merging + global cross-phase panel coalescing) with
+full-precision accumulation — 82.4% of the composite HBM+MXU
+speed-of-light floor (BENCH_LOCAL per_pass_roofline).  Results are
 forced with an on-device norm reduction fetched to host (plain
 block_until_ready is unreliable through the axon tunnel).
 
