@@ -94,9 +94,18 @@ def _policy(name: str, cd: dict, mode: str) -> str:
 
 
 def _rand_state(n: int, seed: int) -> np.ndarray:
+    """Normalized random c128 state with a 1x-state memory peak.
+
+    Fills the interleaved (re, im) float64 view in place — the naive
+    ``normal() + 1j*normal()`` peaks at 3x state (96 GiB extra at
+    n = 31 on the 125 GB host)."""
     rng = np.random.default_rng(seed)
-    psi = rng.normal(size=1 << n) + 1j * rng.normal(size=1 << n)
-    return (psi / np.linalg.norm(psi)).astype(np.complex128)
+    psi = np.empty(1 << n, np.complex128)
+    v = psi.view(np.float64)
+    rng.random(out=v)  # uniform: ~5x faster than normal at 2^32 draws
+    v -= 0.5           # full-support generic state; Haar-ness is not
+    psi /= np.linalg.norm(v)  # needed for an amplitude differential
+    return psi
 
 
 def _seg_plan(n_gates: int, n: int, seg_gates: int | None = None,
@@ -106,7 +115,7 @@ def _seg_plan(n_gates: int, n: int, seg_gates: int | None = None,
     if seg_gates is None:
         seg_gates = 32 if n <= 26 else (24 if n <= 28 else 12)
     if k is None:
-        k = 6 if n <= 26 else (4 if n <= 28 else (2 if n <= 30 else 1))
+        k = 6 if n <= 26 else (4 if n <= 28 else (2 if n <= 29 else 1))
     n_seg = -(-n_gates // seg_gates)
     if k >= n_seg:
         return seg_gates, list(range(n_seg))
@@ -154,18 +163,35 @@ def _verify_segments(name: str, cd: dict, seg_gates=None, k=None) -> dict:
     n, gates = cd["number_of_qubits"], cd["gates"]
     seg_gates, idxs = _seg_plan(len(gates), n, seg_gates, k)
     t0, worst = time.time(), 0.0
+    # Memory + speed discipline (c128 twins are 1-32 GiB each here;
+    # the classic oracle's per-gate index/gather temporaries would
+    # swap or OOM the 125 GB host at n >= 29, and cost ~10 s/gate at
+    # n = 26): hand the ENGINE (production fused tier, the path users
+    # run) a jax buffer and drop the numpy twin, regenerate psi0
+    # deterministically for the oracle, run the oracle IN PLACE
+    # (apply_gate_lean: O(MB) temps, diag/permutation fast paths),
+    # and take the max-|diff| in chunks.
+    import jax.numpy as jnp
+
     for s in idxs:
         seg = gates[s * seg_gates:(s + 1) * seg_gates]
         sub = {"number_of_qubits": n, "gates": seg}
-        psi0 = _rand_state(n, 1000 + s)
+        x = jnp.asarray(_rand_state(n, 1000 + s))
         got = simulator.simulate_np(sub, dtype="complex128",
-                                    use_fusion=False, panel_width=None,
-                                    initial_state=psi0)
-        want = oracle.simulate(sub, initial_state=psi0)
-        worst = max(worst, float(np.max(np.abs(got - want))))
+                                    use_fusion=True, panel_width=7,
+                                    mode="fused", initial_state=x)
+        del x
+        psi0 = _rand_state(n, 1000 + s)
+        want = oracle.simulate_lean(sub, initial_state=psi0)  # aliases
+        m = 0.0
+        step = 1 << 24
+        for i in range(0, got.size, step):
+            m = max(m, float(np.max(np.abs(got[i:i + step]
+                                           - want[i:i + step]))))
+        worst = max(worst, m)
         del got, want, psi0
     n_seg = -(-len(gates) // seg_gates)
-    return {"method": f"segment_restart_c128[{seg_gates}]",
+    return {"method": f"segment_restart_c128[{seg_gates}]_fusedtier",
             "segments_checked": idxs, "segments_total": n_seg,
             "gates_checked": min(len(gates), len(idxs) * seg_gates),
             "max_amp_err": worst,

@@ -53,6 +53,138 @@ def apply_gate(psi: np.ndarray, qubits: list[int], U: np.ndarray) -> np.ndarray:
     return out
 
 
+def apply_gate_lean(psi: np.ndarray, qubits: list[int], U: np.ndarray,
+                    block_amps: int = 1 << 22) -> None:
+    """In-place, blocked gate application for 1-3 qubit gates.
+
+    Same math and subspace convention as :func:`apply_gate`, but O(MB)
+    temporaries instead of O(state): the state is viewed as a strided
+    reshape exposing each gate qubit as its own axis (zero-copy), and
+    the 2^m subspace planes are updated block-by-block.  This is what
+    makes full-dimension c128 segment differentials feasible at
+    n = 29..31 on a 125 GB host (``bench/corpus.py``), where
+    :func:`apply_gate`'s index/gather temporaries alone exceed RAM.
+    The blocked loop mirrors the native engine's strided in-place
+    kernels (``native/host_engine.cpp``) in numpy.
+    """
+    n_amps = psi.size
+    m = len(qubits)
+    dim = 1 << m
+    if U.shape != (dim, dim):
+        raise ValueError(f"matrix shape {U.shape} does not match {m} qubits")
+    if m > 3:
+        raise ValueError("apply_gate_lean supports 1-3 qubit gates")
+    U = np.ascontiguousarray(U, dtype=np.complex128)
+    # Sort qubits ascending for the reshape; track where each gate
+    # qubit landed so subspace index bit (m-1-j) still carries
+    # qubits[j] (apply_gate's convention: qubits[0] = MSB).
+    order = sorted(range(m), key=lambda j: qubits[j])
+    qs = [qubits[j] for j in order]
+    # view axes (C order, little-endian bits): innermost = low bits.
+    #   (outer, 2, gap2, 2, gap1, 2, inner)  for m = 3 with qs asc.
+    shape = []
+    prev = -1
+    for q in qs:
+        shape.append(1 << (q - prev - 1))  # gap below this qubit
+        shape.append(2)
+        prev = q
+    shape.append(n_amps >> (prev + 1))
+    shape.reverse()  # C order: outermost axis = highest bits
+    view = psi.reshape(shape)
+    # Axis index (in `view`) of ascending gate qubit i, and of each
+    # ORIGINAL gate qubit j (qubits[j] = MSB of the subspace index).
+    axes = [len(shape) - 2 - 2 * i for i in range(m)]
+    axis_of_j = [axes[order.index(j)] for j in range(m)]
+    gate_axes = set(axis_of_j)
+    # Subspace index s (big-endian over qubits[]) -> index tuple.
+    sel = []
+    for s in range(dim):
+        ix: list = [slice(None)] * len(shape)
+        for j in range(m):
+            ix[axis_of_j[j]] = (s >> (m - 1 - j)) & 1
+        sel.append(tuple(ix))
+    # Block over the largest NON-gate axis (there is always one:
+    # the non-gate volume is n_amps/dim spread over <= m+1 axes), so
+    # temporaries stay ~block_amps regardless of which qubits the
+    # gate touches.
+    baxis = max((ax for ax in range(len(shape)) if ax not in gate_axes),
+                key=lambda ax: shape[ax])
+    per_unit = max(1, n_amps // shape[baxis])  # amps per index of baxis
+    step = max(1, block_amps // per_unit)
+
+    def plane(s, bs):
+        ix = list(sel[s])
+        ix[baxis] = bs
+        return view[tuple(ix)]
+
+    nz = np.abs(U) > 0
+    if not np.any(nz & ~np.eye(dim, dtype=bool)):
+        # Diagonal gate (P/RZ/CR/T/RZZ...): scalar multiply the
+        # touched planes in place — 1 read + 1 write, no copies.
+        for i0 in range(0, shape[baxis], step):
+            bs = slice(i0, i0 + step)
+            for s in range(dim):
+                if U[s, s] != 1.0:
+                    plane(s, bs)[...] *= U[s, s]
+        return None
+    if (nz.sum(0) == 1).all() and (nz.sum(1) == 1).all():
+        # Monomial/permutation gate (X/CNOT/CCX/CSWAP, phased perms):
+        # out plane s = U[s, src[s]] * in plane src[s]; walk each
+        # cycle with ONE plane-block temp.
+        src = [int(np.nonzero(nz[s])[0][0]) for s in range(dim)]
+        for i0 in range(0, shape[baxis], step):
+            bs = slice(i0, i0 + step)
+            seen: set = set()
+            for s0 in range(dim):
+                if s0 in seen:
+                    continue
+                cyc = [s0]  # src[cyc[j]] == cyc[j+1] by construction
+                while src[cyc[-1]] != s0:
+                    cyc.append(src[cyc[-1]])
+                seen.update(cyc)
+                if len(cyc) > 1:
+                    tmp = plane(cyc[0], bs).copy()
+                    for j in range(len(cyc) - 1):
+                        plane(cyc[j], bs)[...] = plane(cyc[j + 1], bs)
+                    plane(cyc[-1], bs)[...] = tmp
+                    del tmp
+                for s in cyc:
+                    if U[s, src[s]] != 1.0:
+                        plane(s, bs)[...] *= U[s, src[s]]
+        return None
+    for i0 in range(0, shape[baxis], step):
+        bs = slice(i0, i0 + step)
+        # .copy(), not ascontiguousarray: a contiguous slice would
+        # ALIAS the state and the s=0 write would corrupt it.
+        planes = [plane(t, bs).copy() for t in range(dim)]
+        for s in range(dim):
+            acc = U[s, 0] * planes[0]
+            for t in range(1, dim):
+                acc += U[s, t] * planes[t]
+            plane(s, bs)[...] = acc
+    return None
+
+
+def simulate_lean(circuit_dict: dict, *,
+                  initial_state: np.ndarray | None = None) -> np.ndarray:
+    """Like :func:`simulate` but in place with O(MB) temporaries.
+
+    Mutates and returns ``initial_state`` when given (no copy — the
+    point is the memory profile); gates of arity > 3 raise.
+    """
+    cd = validate_circuit_dict(circuit_dict)
+    n = cd["number_of_qubits"]
+    psi = zero_state(n) if initial_state is None else initial_state
+    if psi.size != (1 << n):
+        raise ValueError("initial_state size mismatch")
+    if psi.dtype != np.complex128 or not psi.flags.c_contiguous:
+        raise ValueError("simulate_lean needs a contiguous c128 buffer")
+    for g in cd["gates"]:
+        U = G.gate_matrix(g["gate"], g["params"])
+        apply_gate_lean(psi, g["qubits"], U)
+    return psi
+
+
 def zero_state(n: int, dtype=np.complex128) -> np.ndarray:
     psi = np.zeros(1 << n, dtype=dtype)
     psi[0] = 1.0

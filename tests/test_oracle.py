@@ -194,3 +194,42 @@ def test_oracle_multi_qubit_consistency():
     """CCX == controlled-controlled decomposition sanity via matrices."""
     U = G.gate_matrix("CCX", {})
     np.testing.assert_allclose(U @ U, np.eye(8), atol=1e-12)
+
+
+def _rand_unitary(m, rng):
+    d = 1 << m
+    a = rng.normal(size=(d, d)) + 1j * rng.normal(size=(d, d))
+    return np.linalg.qr(a)[0]
+
+
+def test_apply_gate_lean_matches_apply_gate():
+    """Blocked in-place path == gather path for random 1-3q gates,
+    including top/bottom-qubit placements and tiny block sizes (the
+    n=29-31 corpus differential runs on this path)."""
+    rng = np.random.default_rng(42)
+    n = 9
+    cases = [list(rng.choice(n, size=m, replace=False))
+             for m in (1, 1, 2, 2, 3, 3) for _ in range(4)]
+    cases += [[0, n - 1], [n - 1], [0, 4, n - 1], [n - 1, 0],
+              [n - 1, n - 2, n - 3], [0, 1, 2]]
+    for qubits in cases:
+        U = _rand_unitary(len(qubits), rng)
+        psi = rng.normal(size=1 << n) + 1j * rng.normal(size=1 << n)
+        want = oracle.apply_gate(psi, list(qubits), U)
+        got = psi.copy()
+        oracle.apply_gate_lean(got, list(qubits), U, block_amps=32)
+        assert np.max(np.abs(got - want)) < 1e-12, qubits
+
+
+def test_simulate_lean_end_to_end():
+    for cd in (lib.qft(8), lib.grover(7)):
+        a = oracle.simulate(cd)
+        b = oracle.simulate_lean(cd)
+        assert np.max(np.abs(a - b)) < 1e-12
+
+
+def test_apply_gate_lean_rejects_high_arity():
+    psi = np.zeros(16, np.complex128)
+    psi[0] = 1.0
+    with pytest.raises(ValueError):
+        oracle.apply_gate_lean(psi, [0, 1, 2, 3], np.eye(16))
