@@ -215,7 +215,7 @@ def _verify_trajectory(name: str, cd: dict, full_n_max: int = 28,
         for seed in seeds:
             psi, cregs, outs = T.simulate_trajectory(
                 cd, seed=seed, dtype=jnp.complex128,
-                use_fusion=False, panel_width=None)  # see _verify_e2e
+                use_fusion=True, panel_width=7)  # production fused tier
             want, cregs_o, outs_o = oracle.simulate_trajectory(cd, seed=seed)
             if outs != outs_o or cregs != cregs_o:
                 return {"method": "trajectory_twin_c128",

@@ -275,7 +275,13 @@ def simulate_trajectory(circuit_dict: dict, *, seed: int = 0,
         if cond is not None and cregs.get(cond["creg"], 0) != cond["value"]:
             continue
         U = G.gate_matrix(name, g["params"])
-        psi = apply_gate(psi, g["qubits"], U)
+        if len(g["qubits"]) <= 3:
+            # In-place blocked path (identical math, fuzz-tested equal):
+            # the gather formulation's temporaries dominate wall time
+            # and RAM for the n >= 26 corpus trajectory twins.
+            apply_gate_lean(psi, g["qubits"], U)
+        else:
+            psi = apply_gate(psi, g["qubits"], U)
     return psi, cregs, outcomes
 
 
