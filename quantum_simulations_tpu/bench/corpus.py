@@ -315,7 +315,8 @@ def verify_one(name: str, path: str, *, spot_sharded: bool = False,
 
 def run(tier: str = "small", max_n: int | None = None,
         names: list[str] | None = None, spot_sharded_for=("cc_n18",),
-        out_path: str | None = None) -> dict:
+        out_path: str | None = None, seg_gates: int | None = None,
+        seg_k: int | None = None) -> dict:
     """tier: small (n<=20 + classical), segments (the 21..31 set),
     trajectory, all."""
     import jax
@@ -348,6 +349,7 @@ def run(tier: str = "small", max_n: int | None = None,
                          "reason": f"--max-n {max_n}"})
             continue
         row = verify_one(name, path, spot_sharded=name in spot_sharded_for,
+                         seg_gates=seg_gates, seg_k=seg_k,
                          parsed=(cd, mode, err))
         rows.append(row)
         print(json.dumps(row), flush=True)
@@ -376,10 +378,14 @@ def main() -> None:
                     help="comma-separated circuit names (overrides tier)")
     ap.add_argument("--out", default=None, help="incremental JSON path")
     ap.add_argument("--update-bench-local", action="store_true")
+    ap.add_argument("--seg-gates", type=int, default=None,
+                    help="override segment size (default: size policy)")
+    ap.add_argument("--seg-k", type=int, default=None,
+                    help="override number of sampled segments")
     a = ap.parse_args()
     res = run(tier=a.tier, max_n=a.max_n,
               names=a.names.split(",") if a.names else None,
-              out_path=a.out)
+              out_path=a.out, seg_gates=a.seg_gates, seg_k=a.seg_k)
     if a.update_bench_local:
         p = os.path.join(os.path.dirname(os.path.dirname(
             os.path.dirname(os.path.abspath(__file__)))), "BENCH_LOCAL.json")
