@@ -214,7 +214,7 @@ def main():
         p = os.path.join(os.path.dirname(os.path.dirname(
             os.path.dirname(os.path.abspath(__file__)))), "BENCH_LOCAL.json")
         d = json.load(open(p))
-        d["hisvsim_partition_comparison"] = res
+        d["hisvsim_parts"] = res
         with open(p, "w") as f:
             json.dump(d, f, indent=1)
         print("BENCH_LOCAL.json updated")

@@ -1,21 +1,26 @@
-"""Per-pass roofline table for the headline circuit (nonstab28).
+"""Per-pass roofline table for the headline benchmark circuits.
 
 For every op in the window schedule: measured ms on the chip vs BOTH
 resource floors —
 
-* HBM floor: a planar pass reads+writes both f32 planes
-  (4 x 2^n bytes) at the measured 819 GB/s v5e peak.
+* HBM floor: a planar pass reads AND writes both f32 planes
+  (16 bytes/amplitude total) at the measured 819 GB/s v5e peak:
+  ``16 * 2^n / 819e9`` seconds.  This is a hard physical bound — no
+  full-state pass can measure below it.
 * MXU floor: panel passes are matmul-bound at HIGHEST precision
-  (bf16_3x emulation, measured 30 TFLOP/s ceiling on v5e,
-  ``ops/pallas_kernels.py:27-35``); a window panel is 3 Gauss real
-  matmuls of 128x128 x (2^n/128) = 768*2^n FLOP, a dual panel twice
-  that.
+  (measured 30 TFLOP/s ceiling on v5e for the f32 panel contraction,
+  ``ops/pallas_kernels.py:27-35``; a manual bf16_3x split raced
+  slower).  A 2^w-wide Gauss panel is 3 real matmuls of
+  2^w x 2^w x (2^n/2^w) = ``3*2*2^w*2^n`` FLOP; the width is derived
+  from the op's actual W (NOT assumed 128), a dual panel sums both
+  constituent panels (its second contraction rides the same HBM
+  pass).
 
 so the end-to-end wall clock is auditable pass by pass: which passes
-are bandwidth-bound, which are precision-constrained MXU compute, and
-where schedule slack remains.
+are bandwidth-bound, which are precision-constrained MXU compute,
+which carry dispatch/overhead slack, and where schedule slack remains.
 
-Methodology — prefix differencing.  Timing one op repeated in
+Methodology — robust prefix differencing.  Timing one op repeated in
 isolation is WRONG for the transposing window kernels: a pass that
 reads layout A and writes layout B gets a free relabel in the real
 chain (the next pass simply consumes B), but repeating it on its own
@@ -23,13 +28,23 @@ output forces XLA to insert a physical relayout copy every iteration
 (measured: isolated per-pass sums to ~113 ms for a 61 ms circuit).
 Instead we compile ops[0..k] for k = 0..P as ONE program each (k = 0
 measures the axon-tunnel RTT intercept), run `reps` chained
-applications inside `lax.fori_loop`, and report the delta t(k) -
-t(k-1) as pass k's in-context cost.  Deltas can shift a little
-between adjacent passes when XLA merges a relabel across the op
-boundary (a delta slightly under its floor means exactly that); the
-TOTAL row is exact.
+applications inside `lax.fori_loop`, measure that program `samples`
+times taking the MIN (contention/tunnel hiccups only ever ADD time),
+and report monotone-constrained deltas t(k) - t(k-1) as pass k's
+in-context cost.  Round 4 published single-shot deltas, which put one
+pass at 5x its floor — physically impossible (it implies 3.2 TB/s on
+819 GB/s HBM) and traced to one noisy prefix sample inflating its
+neighbor; min-of-samples kills that failure mode.  Residual
+adjacent-pass attribution spill is still possible when XLA merges a
+relabel across an op boundary, so any delta that lands below its own
+HBM floor (impossible for a real pass) is MERGED with its predecessor
+into one attribution group whose combined measure and combined floor
+are reported together — no row can overstate its pct_of_sol.  The
+TOTAL row is exact either way.  The raw cumulative curve (all samples
+per prefix) ships in the output for independent re-attribution.
 
-    python -m quantum_simulations_tpu.bench.passes [--n 28] [--reps 12]
+    python -m quantum_simulations_tpu.bench.passes [--config nonstab28]
+        [--reps 12] [--samples 5] [--update-bench-local]
 """
 from __future__ import annotations
 
@@ -37,35 +52,97 @@ import argparse
 import json
 import time
 
+import numpy as np
+
 HBM_GBS = 819.0   # measured v5e peak (BENCH_LOCAL microbench)
-MXU_TFLOPS = 30.0  # measured v5e bf16_3x (HIGHEST) matmul ceiling
+# Analytic MXU ceiling for f32 matmuls at Precision.HIGHEST: the v5e
+# MXU peaks at 196.7 bf16 TFLOP/s and HIGHEST emulates each f32
+# product with 6 bf16 passes -> 196.7 / 6 = 32.8 TFLOP/s.  The dual
+# panel kernel measures 30.5 TFLOP/s (93% of this), which is why the
+# old "measured 30" constant put one pass at a nonsensical 101.7% of
+# its own floor — a floor must be unachievable-or-equal, so it is
+# derived from the hardware peak, not from our best kernel.
+MXU_TFLOPS = 196.7 / 6
+
+
+def _panel_width(W) -> int:
+    """Panel dimension 2^w from the op's actual unitary."""
+    if isinstance(W, tuple):  # traced (wr, wi) planes
+        return int(W[0].shape[-1])
+    return int(np.asarray(W).shape[-1])
 
 
 def _op_floors_ms(op, n: int) -> tuple[float, float]:
-    """(hbm_floor_ms, mxu_floor_ms) for one window-schedule op."""
-    hbm = 4 * 4 * (1 << n) / (HBM_GBS * 1e9) * 1e3 / 2
+    """(hbm_floor_ms, mxu_floor_ms) for one window-schedule op.
+
+    HBM: every full-state planar pass moves >= 16 bytes/amplitude
+    (read + write of both f32 planes).  MXU: Gauss 3-mult FLOPs from
+    the op's REAL panel width(s) (ADVICE r4: no hardcoded 128).
+    """
+    hbm = 16 * (1 << n) / (HBM_GBS * 1e9) * 1e3
     kind = type(op).__name__
-    panel_flop = 3 * 2 * 128 * (1 << n)  # Gauss 3-mult, 128-wide window
     if kind == "DualPanelOp":
-        mxu = 2 * panel_flop / (MXU_TFLOPS * 1e12) * 1e3
+        fl = sum(3 * 2 * _panel_width(p.W) * (1 << n)
+                 for p in (op.first, op.second))
+        mxu = fl / (MXU_TFLOPS * 1e12) * 1e3
     elif kind == "WindowPanelOp":
-        mxu = panel_flop / (MXU_TFLOPS * 1e12) * 1e3
-    else:  # PhysGateOp / diag epilogues: VPU + bandwidth
+        fl = 3 * 2 * _panel_width(op.W) * (1 << n)
+        mxu = fl / (MXU_TFLOPS * 1e12) * 1e3
+    else:  # PhysGateOp / swaps / bitperm / diag epilogues: VPU + HBM
         mxu = 0.0
     return hbm, mxu
 
 
-def run(n: int = 28, reps: int = 12, depth: int = 4, seed: int = 7) -> dict:
+def _binding(ms: float, hbm_f: float, mxu_f: float) -> str:
+    """Which resource bounds this pass — with an explicit overhead
+    class when the measurement sits far above BOTH floors (ADVICE r4:
+    a floor-only label would hide dispatch/layout slack)."""
+    floor = max(hbm_f, mxu_f)
+    if floor > 0 and ms > 1.35 * floor:
+        return "overhead/slack"
+    return "MXU@HIGHEST" if mxu_f > hbm_f else "bandwidth"
+
+
+def _op_detail(op) -> str:
+    kind = type(op).__name__
+    if kind == "DualPanelOp":
+        return (f"pos={op.first.pos}+{op.second.pos} "
+                f"fused={op.first.n_fused}+{op.second.n_fused}")
+    if hasattr(op, "pos"):
+        return f"pos={op.pos} fused={getattr(op, 'n_fused', '?')}"
+    if hasattr(op, "qubits"):
+        return f"q={op.qubits}"
+    if hasattr(op, "pairs"):
+        return f"pairs={op.pairs}"
+    return ""
+
+
+def _build_circuit(config: str):
+    from ..circuit import library as lib
+
+    if config.startswith("nonstab"):
+        return lib.non_stabilizer(int(config[7:] or 28), depth=4, seed=7)
+    if config == "sycamore26_d8":
+        return lib.sycamore_like(26, depth=8, seed=11)
+    if config == "qaoa26_p2":
+        return lib.qaoa_maxcut(26, p=2)
+    if config == "qft26":
+        return lib.qft(26)
+    raise SystemExit(f"unknown --config {config}")
+
+
+def run(config: str = "nonstab28", reps: int = 12,
+        samples: int = 5) -> dict:
     import jax
     import jax.lax as lax
     import jax.numpy as jnp
 
-    from ..circuit import library as lib
     from ..circuit.panelize import compile_window_schedule
     from ..ops import dense
     from ..runtime.simulator import apply_window_op, pair_panel_diag
 
-    cd = lib.non_stabilizer(n, depth=depth, seed=seed)
+    cd = _build_circuit(config)
+    n = cd["number_of_qubits"]
     ops = pair_panel_diag(compile_window_schedule(cd, diag_terms_only=True))
     interpret = jax.default_backend() != "tpu"
 
@@ -74,8 +151,9 @@ def run(n: int = 28, reps: int = 12, depth: int = 4, seed: int = 7) -> dict:
         lambda re, im: jnp.sum(re * re) + jnp.sum(im * im)
     ).lower(P, P).compile()
 
-    def prefix_ms(k: int) -> float:
-        """Per-rep ms of ops[0..k) chained inside one program."""
+    def prefix_samples(k: int) -> list[float]:
+        """`samples` per-rep ms measurements of ops[0..k) chained
+        inside one compiled program (compiled once, run repeatedly)."""
         def body(_, s):
             re, im = s
             for op, dterms in ops[:k]:
@@ -90,52 +168,96 @@ def run(n: int = 28, reps: int = 12, depth: int = 4, seed: int = 7) -> dict:
         st = jax.jit(lambda: dense.zero_state_planar(n))()
         st = fn(*st)
         float(jax.device_get(norm2(*st)))  # warm + force
-        st = jax.jit(lambda: dense.zero_state_planar(n))()
-        t0 = time.perf_counter()
-        st = fn(*st)
-        float(jax.device_get(norm2(*st)))
-        return (time.perf_counter() - t0) / reps * 1e3
+        out = []
+        for _ in range(samples):
+            st = jax.jit(lambda: dense.zero_state_planar(n))()
+            t0 = time.perf_counter()
+            st = fn(*st)
+            float(jax.device_get(norm2(*st)))
+            out.append((time.perf_counter() - t0) / reps * 1e3)
+        return out
 
-    rtt = prefix_ms(0)  # dispatch/fetch intercept, no passes
-    rows, prev = [], rtt
+    curve = [prefix_samples(k) for k in range(len(ops) + 1)]
+    mins = [min(s) for s in curve]
+    # Monotone constraint: a longer prefix cannot be cheaper than a
+    # shorter one — clamp residual noise so deltas are >= 0.
+    cum = [mins[0]]
+    for v in mins[1:]:
+        cum.append(max(v, cum[-1]))
+    rtt = cum[0]
+
+    raw = []
     for idx, (op, dterms) in enumerate(ops):
-        tot = prefix_ms(idx + 1)
-        ms = tot - prev
-        prev = tot
+        ms = cum[idx + 1] - cum[idx]
         hbm_f, mxu_f = _op_floors_ms(op, n)
-        floor = max(hbm_f, mxu_f)
-        kind = type(op).__name__
-        detail = ""
-        if hasattr(op, "pos"):
-            detail = f"pos={op.pos} fused={getattr(op, 'n_fused', '?')}"
-        elif kind == "DualPanelOp":
-            detail = (f"pos={op.first.pos}+{op.second.pos} "
-                      f"fused={op.first.n_fused}+{op.second.n_fused}")
-        elif hasattr(op, "qubits"):
-            detail = f"q={op.qubits}"
-        rows.append({
-            "pass": idx, "kind": kind, "detail": detail,
-            "measured_ms": round(ms, 2),
-            "hbm_floor_ms": round(hbm_f, 2),
-            "mxu_floor_ms": round(mxu_f, 2),
-            "pct_of_sol": round(100 * floor / ms, 1) if ms > 0 else None,
-            "binding": ("MXU@HIGHEST" if mxu_f > hbm_f else "bandwidth"),
-        })
-        print(json.dumps(rows[-1]), flush=True)
+        raw.append({"ops": [idx], "kinds": [type(op).__name__],
+                    "details": [_op_detail(op)], "ms": ms,
+                    "hbm": hbm_f, "mxu": mxu_f})
 
-    total = prev - rtt
+    # Attribution-spill repair: a full-state pass physically cannot
+    # beat its HBM floor; a delta below it means the boundary shifted
+    # work into a neighbor — merge with the predecessor (or successor
+    # for pass 0) so every reported row is individually sound.
+    groups: list[dict] = []
+    for r in raw:
+        if groups and r["ms"] < 0.97 * r["hbm"]:
+            g = groups[-1]
+            g["ops"] += r["ops"]; g["kinds"] += r["kinds"]
+            g["details"] += r["details"]; g["ms"] += r["ms"]
+            g["hbm"] += r["hbm"]; g["mxu"] += r["mxu"]
+            g["merged"] = True
+        else:
+            groups.append(dict(r))
+    merged_fwd = []
+    for g in groups:  # forward-merge a deficient leading group
+        if merged_fwd and merged_fwd[-1]["ms"] < 0.97 * merged_fwd[-1]["hbm"]:
+            p = merged_fwd.pop()
+            g = {"ops": p["ops"] + g["ops"], "kinds": p["kinds"] + g["kinds"],
+                 "details": p["details"] + g["details"],
+                 "ms": p["ms"] + g["ms"], "hbm": p["hbm"] + g["hbm"],
+                 "mxu": p["mxu"] + g["mxu"], "merged": True}
+        merged_fwd.append(g)
+
+    rows = []
+    for g in merged_fwd:
+        floor = max(g["hbm"], g["mxu"])
+        row = {
+            "passes": g["ops"],
+            "kind": "+".join(g["kinds"]),
+            "detail": "; ".join(d for d in g["details"] if d),
+            "measured_ms": round(g["ms"], 4),
+            "hbm_floor_ms": round(g["hbm"], 4),
+            "mxu_floor_ms": round(g["mxu"], 4),
+            "pct_of_sol": (round(100 * floor / g["ms"], 1)
+                           if g["ms"] > 0 else None),
+            "binding": _binding(g["ms"], g["hbm"], g["mxu"]),
+        }
+        if g.get("merged"):
+            row["note"] = ("attribution group: a constituent delta fell "
+                           "below its HBM floor (boundary spill); "
+                           "combined measure vs combined floor shown")
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    total = cum[-1] - rtt
     comp_floor = sum(max(*_op_floors_ms(op, n)) for op, _ in ops)
     hbm_floor = sum(_op_floors_ms(op, n)[0] for op, _ in ops)
-    out = {"circuit": f"nonstab{n} depth={depth} seed={seed}",
-           "gates": len(cd["gates"]), "passes": len(rows),
-           "method": f"prefix-differencing, {reps} chained reps per "
-                     "prefix inside one program; rtt intercept "
-                     f"{rtt:.2f} ms subtracted",
+    out = {"circuit": config, "n": n,
+           "gates": len(cd["gates"]), "passes": len(ops),
+           "method": f"robust prefix-differencing: {reps} chained reps "
+                     f"per prefix inside one program, min of {samples} "
+                     "program runs, monotone-clamped; rtt intercept "
+                     f"{rtt:.2f} ms subtracted; deltas below their HBM "
+                     "floor merged into attribution groups",
            "total_ms": round(total, 2),
            "hbm_floor_total_ms": round(hbm_floor, 2),
            "composite_floor_ms": round(comp_floor, 2),
            "pct_of_composite_sol": round(100 * comp_floor / total, 1),
            "hbm_peak_GBs": HBM_GBS, "mxu_tflops_highest": MXU_TFLOPS,
+           "cumulative_prefix_ms": [
+               {"k": k, "min": round(min(s), 2), "med": round(
+                   sorted(s)[len(s) // 2], 2), "max": round(max(s), 2)}
+               for k, s in enumerate(curve)],
            "rows": rows}
     print(json.dumps({k: v for k, v in out.items() if k != "rows"}))
     return out
@@ -143,11 +265,12 @@ def run(n: int = 28, reps: int = 12, depth: int = 4, seed: int = 7) -> dict:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--n", type=int, default=28)
+    ap.add_argument("--config", default="nonstab28")
     ap.add_argument("--reps", type=int, default=12)
+    ap.add_argument("--samples", type=int, default=5)
     ap.add_argument("--update-bench-local", action="store_true")
     a = ap.parse_args()
-    res = run(n=a.n, reps=a.reps)
+    res = run(config=a.config, reps=a.reps, samples=a.samples)
     if a.update_bench_local:
         import json as J
         import os
@@ -155,10 +278,12 @@ def main():
         p = os.path.join(os.path.dirname(os.path.dirname(
             os.path.dirname(os.path.abspath(__file__)))), "BENCH_LOCAL.json")
         d = J.load(open(p))
-        d["per_pass_roofline"] = res
+        key = ("per_pass_roofline" if a.config == "nonstab28"
+               else f"per_pass_roofline_{a.config}")
+        d[key] = res
         with open(p, "w") as f:
             J.dump(d, f, indent=1)
-        print("BENCH_LOCAL.json updated")
+        print(f"BENCH_LOCAL.json updated ({key})")
 
 
 if __name__ == "__main__":

