@@ -99,6 +99,117 @@ def run(n: int = 30, *, with_window_row: bool = True,
     return {"device": str(dev), "n_devices": 8, "rows": rows}
 
 
+def run16() -> dict:
+    """16-device virtual-mesh rows (VERDICT r4 #6): a 4th device bit
+    and 2-bit-deeper reshard groups beyond the 8-device artifact.
+
+    * the full 5-tier ``dryrun_multichip(16)`` (fused exchange,
+      window + staged reshard, sharded in-place capacity, WAL
+      crash+resume on the mesh, mesh x spill) — self-bootstraps its
+      own 16-device subprocess;
+    * a scaled-down (n=14) EXECUTION of the exact 34q pod staged
+      program shape (``tests/test_pod_scale_lowering.py`` lowers the
+      34q original at 16): heuristic staging at k = n - 4, capacity
+      window body (planar + in-place) over the 16-device mesh, final
+      state vs the c128 oracle, plus the SPMD hierarchical sampler
+      executed at 64 shots.
+
+    Reference analogue: ``svsim-mpi.hpp:123-173`` (multi-rank tier).
+    """
+    import os
+    import subprocess
+    import sys
+
+    import numpy as np
+
+    rows = []
+
+    def emit(row):
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    t0 = time.time()
+    code = ("import sys; sys.path.insert(0, {r!r})\n"
+            "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+            "import __graft_entry__ as g; g.dryrun_multichip(16)\n"
+            "print('OK16')\n").format(r=repo)
+    p = subprocess.run([sys.executable, "-c", code], cwd=repo,
+                       capture_output=True, text=True, timeout=1800)
+    emit({"config": "dryrun_5tier_sharded16",
+          "ok": p.returncode == 0 and "OK16" in p.stdout,
+          "tiers": ["fused_exchange", "window_staged_reshard",
+                    "capacity_inplace", "wal_crash_resume",
+                    "mesh_x_spill"],
+          "wall_s": round(time.time() - t0, 2),
+          **({} if p.returncode == 0 else
+             {"error": (p.stderr or p.stdout)[-400:]})})
+
+    code2 = "import sys; sys.path.insert(0, " + repr(repo) + ")\n" + r"""
+import jax; jax.config.update('jax_platforms', 'cpu')
+import json, time
+import numpy as np
+import jax.numpy as jnp
+from quantum_simulations_tpu.circuit import library as lib
+from quantum_simulations_tpu.circuit import staging as S
+from quantum_simulations_tpu.oracle import dense_numpy as oracle
+from quantum_simulations_tpu.ops.sampling import sample_bits_sharded
+from quantum_simulations_tpu.parallel import executor as E
+from quantum_simulations_tpu.parallel import mesh as M
+from quantum_simulations_tpu.utils.transfer import fetch_array
+
+n = 14
+mesh = M.make_mesh(16)
+k = M.shard_width(mesh, n)
+assert k == n - 4, k   # the 4th device bit
+cd = lib.sycamore_like(n, depth=2, seed=5)   # the 34q config, scaled
+staged, log2phys, stats = S.stage_circuit(cd, k, "heuristic")
+t0 = time.time()
+_, fn = E.build_circuit_fns(mesh, staged, mode="window", inplace=True,
+                            planar_io=True, dtype=jnp.complex64)
+re, im = M.zero_state_planar_sharded(mesh, n)
+re, im = fn(re, im)
+got = (fetch_array(re) + 1j * fetch_array(im)).astype(np.complex64)
+got = S.permute_state(got, log2phys)
+want = oracle.simulate(cd).astype(np.complex64)
+err = float(np.max(np.abs(got - want)))
+wall = time.time() - t0
+# SPMD hierarchical sampler, executed (not just lowered) at 16:
+# shots index the STAGED (physical-layout) state, so score them
+# against the staged oracle distribution.
+t0 = time.time()
+psi = E.simulate_sharded(mesh, staged, dtype="complex64", mode="window")
+shots = np.asarray(jax.jit(
+    lambda s, key: sample_bits_sharded(s, key, 64, n, mesh)
+)(psi, jnp.asarray([0, 1], jnp.uint32)))
+assert shots.shape == (64, n), shots.shape
+p2 = np.abs(oracle.simulate(staged)) ** 2
+idx = (shots.astype(np.int64) << np.arange(n, dtype=np.int64)).sum(1)
+min_p = float(p2[idx].min())
+assert min_p > 1e-12, min_p   # no impossible basis state sampled
+print("ROW " + json.dumps({
+    "config": "pod34q_program_n14_sharded16_capacity",
+    "stages": stats["stages"], "gates": len(cd["gates"]),
+    "max_err_vs_oracle": err, "wall_s": round(wall, 2),
+    "sampler_shots": 64, "sampler_min_prob_sampled": min_p,
+    "sampler_wall_s": round(time.time() - t0, 2)}))
+"""
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=16")
+    p = subprocess.run([sys.executable, "-c", code2], cwd=repo, env=env,
+                       capture_output=True, text=True, timeout=1800)
+    row = None
+    for line in p.stdout.splitlines():
+        if line.startswith("ROW "):
+            row = json.loads(line[4:])
+    if row is None:
+        row = {"config": "pod34q_program_n14_sharded16_capacity",
+               "ok": False, "error": (p.stderr or p.stdout)[-400:]}
+    emit(row)
+    return {"n_devices": 16, "rows": rows}
+
+
 def shard_timing(n: int = 30, n_devices: int = 8, *, depth: int = 8,
                  reps: int = 3, ici_GBs: float = 100.0,
                  interpret: bool | None = None) -> dict:
@@ -204,6 +315,23 @@ if __name__ == "__main__":
     if "shard_timing" in sys.argv[1:]:
         ns = [int(a) for a in sys.argv[1:] if a.isdigit()]
         print(json.dumps(shard_timing(ns[0] if ns else 30), indent=1))
+        raise SystemExit(0)
+
+    if "mesh16" in sys.argv[1:]:
+        res = run16()
+        if "--update-bench-local" in sys.argv[1:]:
+            p = os.path.join(os.path.dirname(os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__)))),
+                "BENCH_LOCAL.json")
+            d = json.load(open(p))
+            cur = d.setdefault("sharded_virtual_mesh", {"rows": []})
+            by = {r["config"]: r for r in cur.get("rows", [])}
+            for r in res["rows"]:
+                by[r["config"]] = r
+            cur["rows"] = list(by.values())
+            with open(p, "w") as f:
+                json.dump(d, f, indent=1)
+            print("BENCH_LOCAL.json updated (sharded_virtual_mesh)")
         raise SystemExit(0)
 
     os.environ.setdefault(
