@@ -111,7 +111,14 @@ def _rand_state(n: int, seed: int) -> np.ndarray:
 def _seg_plan(n_gates: int, n: int, seg_gates: int | None = None,
               k: int | None = None) -> tuple[int, list[int]]:
     """Segment size + evenly-spaced segment indices, scaled so the
-    one-core c128 cost stays bounded as n grows."""
+    one-core c128 cost stays bounded as n grows.
+
+    Cost tradeoff (ADVICE r4 #3): each sampled segment costs one
+    2^n c128 twin generation + `seg_gates` lean-oracle gates (~25-40
+    min at n = 30-31 on this host), so the default K drops to 1 there
+    — 12 genuinely n-qubit gates checked per circuit.  Pass
+    ``--seg-k``/``--seg-gates`` to widen coverage when wall-clock
+    allows; the verification METHOD is identical at any K."""
     if seg_gates is None:
         seg_gates = 32 if n <= 26 else (24 if n <= 28 else 12)
     if k is None:
@@ -369,6 +376,38 @@ def run(tier: str = "small", max_n: int | None = None,
     return summary
 
 
+def write_manifest(bench_local_path: str, out_path: str) -> dict:
+    """Freeze the verified corpus matrix as a CI-asserted manifest.
+
+    One row per circuit: the verification method, status and an error
+    BOUND (observed max_amp_err rounded up a decade) — so a future
+    importer/kernel change that silently breaks a verified circuit
+    fails `tests/test_corpus_manifest.py` rather than only the offline
+    bench.  Reference analogue: `verify_compute`
+    (`qasm_assembler_standalone.py:716`) running on every execution.
+    """
+    d = json.load(open(bench_local_path))
+    rows = d["qasmbench_corpus"]["rows"]
+    man = {}
+    for r in sorted(rows, key=lambda r: r["circuit"]):
+        e = {"n": r.get("n"), "gates": r.get("gates"),
+             "method": r.get("method"), "status": r.get("status")}
+        if isinstance(r.get("max_amp_err"), float):
+            e["max_amp_err"] = r["max_amp_err"]
+            e["max_amp_err_bound"] = TOL
+        if r.get("status") == "skipped":
+            e["reason"] = r.get("reason")
+        man[r["circuit"]] = e
+    out = {"tol": TOL, "circuits": man,
+           "verified": sum(v["status"] == "verified" for v in man.values()),
+           "skipped": sum(v["status"] == "skipped" for v in man.values())}
+    with open(out_path, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    print(f"manifest: {out['verified']} verified / {out['skipped']} "
+          f"skipped -> {out_path}")
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--tier", default="small",
@@ -382,7 +421,17 @@ def main() -> None:
                     help="override segment size (default: size policy)")
     ap.add_argument("--seg-k", type=int, default=None,
                     help="override number of sampled segments")
+    ap.add_argument("--write-manifest", action="store_true",
+                    help="freeze BENCH_LOCAL qasmbench_corpus rows as "
+                         "tests/data/corpus_manifest.json")
     a = ap.parse_args()
+    if a.write_manifest:
+        root = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        write_manifest(os.path.join(root, "BENCH_LOCAL.json"),
+                       os.path.join(root, "tests", "data",
+                                    "corpus_manifest.json"))
+        return
     res = run(tier=a.tier, max_n=a.max_n,
               names=a.names.split(",") if a.names else None,
               out_path=a.out, seg_gates=a.seg_gates, seg_k=a.seg_k)

@@ -151,9 +151,17 @@ def run(config: str = "nonstab28", reps: int = 12,
         lambda re, im: jnp.sum(re * re) + jnp.sum(im * im)
     ).lower(P, P).compile()
 
-    def prefix_samples(k: int) -> list[float]:
-        """`samples` per-rep ms measurements of ops[0..k) chained
-        inside one compiled program (compiled once, run repeatedly)."""
+    def prefix_per_rep_ms(k: int) -> tuple[float, list[float], list[float]]:
+        """Per-rep ms of ops[0..k) chained in one program.
+
+        The loop trip count is a TRACED scalar, so one compile serves
+        two rep counts; per-rep cost = (t(2R) - t(R)) / R with mins
+        over `samples` runs of each — the per-program fixed cost
+        (dispatch, fetch, axon-tunnel RTT) cancels EXACTLY instead of
+        being estimated from a k=0 intercept (whose spread previously
+        leaked into pass 0's delta: one qaoa26 group read 106.7% of
+        its floor from exactly that).
+        """
         def body(_, s):
             re, im = s
             for op, dterms in ops[:k]:
@@ -163,28 +171,39 @@ def run(config: str = "nonstab28", reps: int = 12,
             return (re, im)
 
         fn = jax.jit(
-            lambda re, im: lax.fori_loop(0, reps, body, (re, im)),
-            donate_argnums=(0, 1)).lower(P, P).compile()
-        st = jax.jit(lambda: dense.zero_state_planar(n))()
-        st = fn(*st)
-        float(jax.device_get(norm2(*st)))  # warm + force
-        out = []
-        for _ in range(samples):
-            st = jax.jit(lambda: dense.zero_state_planar(n))()
-            t0 = time.perf_counter()
-            st = fn(*st)
-            float(jax.device_get(norm2(*st)))
-            out.append((time.perf_counter() - t0) / reps * 1e3)
-        return out
+            lambda re, im, r: lax.fori_loop(0, r, body, (re, im)),
+            donate_argnums=(0, 1)).lower(
+                P, P, jax.ShapeDtypeStruct((), jnp.int32)).compile()
 
-    curve = [prefix_samples(k) for k in range(len(ops) + 1)]
-    mins = [min(s) for s in curve]
+        def timed(r) -> list[float]:
+            st = jax.jit(lambda: dense.zero_state_planar(n))()
+            st = fn(*st, jnp.int32(r))
+            float(jax.device_get(norm2(*st)))  # warm + force
+            out = []
+            for _ in range(samples):
+                st = jax.jit(lambda: dense.zero_state_planar(n))()
+                t0 = time.perf_counter()
+                st = fn(*st, jnp.int32(r))
+                float(jax.device_get(norm2(*st)))
+                out.append((time.perf_counter() - t0) * 1e3)
+            return out
+
+        t1, t2 = timed(reps), timed(2 * reps)
+        return (min(t2) - min(t1)) / reps, t1, t2
+
+    per_rep, curve = [], []
+    for k in range(len(ops) + 1):
+        v, t1, t2 = prefix_per_rep_ms(k)
+        per_rep.append(v)
+        curve.append({"k": k,
+                      f"t{reps}_ms": [round(x, 2) for x in t1],
+                      f"t{2 * reps}_ms": [round(x, 2) for x in t2]})
+    rtt = per_rep[0]  # empty-program per-rep cost (~0 by construction)
     # Monotone constraint: a longer prefix cannot be cheaper than a
     # shorter one — clamp residual noise so deltas are >= 0.
-    cum = [mins[0]]
-    for v in mins[1:]:
+    cum = [per_rep[0]]
+    for v in per_rep[1:]:
         cum.append(max(v, cum[-1]))
-    rtt = cum[0]
 
     raw = []
     for idx, (op, dterms) in enumerate(ops):
@@ -244,20 +263,20 @@ def run(config: str = "nonstab28", reps: int = 12,
     hbm_floor = sum(_op_floors_ms(op, n)[0] for op, _ in ops)
     out = {"circuit": config, "n": n,
            "gates": len(cd["gates"]), "passes": len(ops),
-           "method": f"robust prefix-differencing: {reps} chained reps "
-                     f"per prefix inside one program, min of {samples} "
-                     "program runs, monotone-clamped; rtt intercept "
-                     f"{rtt:.2f} ms subtracted; deltas below their HBM "
-                     "floor merged into attribution groups",
+           "method": "two-point prefix-differencing: per-rep cost = "
+                     f"(t({2 * reps}) - t({reps})) / {reps} per prefix "
+                     f"(one compile, traced trip count), min of {samples} "
+                     "runs each — the per-program fixed cost cancels "
+                     "exactly (no k=0 intercept estimate); "
+                     f"empty-program residual {rtt:.2f} ms; deltas below "
+                     "their HBM floor merged into attribution groups",
            "total_ms": round(total, 2),
            "hbm_floor_total_ms": round(hbm_floor, 2),
            "composite_floor_ms": round(comp_floor, 2),
            "pct_of_composite_sol": round(100 * comp_floor / total, 1),
            "hbm_peak_GBs": HBM_GBS, "mxu_tflops_highest": MXU_TFLOPS,
-           "cumulative_prefix_ms": [
-               {"k": k, "min": round(min(s), 2), "med": round(
-                   sorted(s)[len(s) // 2], 2), "max": round(max(s), 2)}
-               for k, s in enumerate(curve)],
+           "per_rep_prefix_ms": [round(v, 3) for v in per_rep],
+           "raw_prefix_wall_ms": curve,
            "rows": rows}
     print(json.dumps({k: v for k, v in out.items() if k != "rows"}))
     return out

@@ -499,10 +499,10 @@ def compile_window_ops(
             from ..ops.dense import _SWAP4
             out.extend(PhysGateOp(p, _SWAP4, "SWAP") for p in pairs)
 
-    return _fuse_panel_pairs(_decompose_terminal_bitperm(_merge_swap_runs(
-        _coalesce_panels_global(
+    return _fold_straddlers(_fuse_panel_pairs(_decompose_terminal_bitperm(
+        _merge_swap_runs(_coalesce_panels_global(
             _merge_diag_runs(out, layout_safe=layout_safe_diag,
-                             terms_only=diag_terms_only), n)), n))
+                             terms_only=diag_terms_only), n)), n)))
 
 
 def _op_support(op) -> set[int] | None:
@@ -609,6 +609,64 @@ def _fuse_panel_pairs(ops: list) -> list:
         else:
             out.append(a)
             i += 1
+    return out
+
+
+_STRADDLE_PERM = (0, 2, 1, 3)  # basis swap for reversed qubit order
+
+
+def _fold_straddlers(ops: list) -> list:
+    """Fold a PhysGateOp on (6, qb in 7..13) that immediately precedes
+    a (0,7) DualPanelOp into that panel pass as a VPU prologue.
+
+    The (6, 7..13) pairs straddle the forbidden window-start zone
+    (``_fit_start``: no valid window contains both bits), so they
+    otherwise cost a dedicated full-state pass through the mixed
+    low/lane pair kernel.  Inside the dual panel's (BA, 128, 128)
+    block BOTH bits are VMEM-resident, so the gate rides the panel's
+    read for free.  ``QST_STRADDLE_FOLD=0`` reverts.
+    """
+    import dataclasses
+    import os as _os
+
+    if _os.environ.get("QST_STRADDLE_FOLD", "1") == "0":
+        return ops
+
+    def foldable(a) -> tuple | None:
+        if (isinstance(a, PhysGateOp) and len(a.qubits) == 2
+                and min(a.qubits) == 6 and 7 <= max(a.qubits) <= 13):
+            U = np.asarray(a.U)
+            if a.qubits[0] != 6:  # normalize to (6, qb) qubit order
+                U = U[np.ix_(_STRADDLE_PERM, _STRADDLE_PERM)]
+            return (6, max(a.qubits), U)
+        return None
+
+    def is_dual07(b) -> bool:
+        return (isinstance(b, DualPanelOp)
+                and {b.first.pos, b.second.pos} == {0, 7})
+
+    # Pass 1 — prologue: [straddler, dual] -> dual(pre_straddle).
+    out: list = []
+    i = 0
+    while i < len(ops):
+        a = ops[i]
+        b = ops[i + 1] if i + 1 < len(ops) else None
+        s = foldable(a)
+        if s is not None and is_dual07(b) and b.pre_straddle is None:
+            out.append(dataclasses.replace(b, pre_straddle=s))
+            i += 2
+        else:
+            out.append(a)
+            i += 1
+    # Pass 2 — epilogue: [dual, straddler] -> dual(post_straddle).
+    ops, out = out, []
+    for a in ops:
+        s = foldable(a)
+        if (s is not None and out and is_dual07(out[-1])
+                and out[-1].post_straddle is None):
+            out[-1] = dataclasses.replace(out[-1], post_straddle=s)
+        else:
+            out.append(a)
     return out
 
 
@@ -838,9 +896,18 @@ class DualPanelOp:
     (``ops/pallas_kernels.dual_panel_planar``).  Panels are
     near-bandwidth-bound: the second contraction rides the same
     read+write.
+
+    ``pre_straddle`` / ``post_straddle``: an optional forbidden-zone
+    straddler gate ``(6, qb, U4)`` with qb in 7..13, circuit-order
+    immediately BEFORE / AFTER the panels, folded in by
+    :func:`_fold_straddlers` — it runs as a VPU prologue / epilogue
+    inside the dual-panel kernel, deleting its standalone full-state
+    HBM pass (the round-4 audit's weakest pass: 66% of floor at n=28).
     """
     first: "WindowPanelOp"
     second: "WindowPanelOp"
+    pre_straddle: tuple = None
+    post_straddle: tuple = None
 
 
 @dataclass(frozen=True)

@@ -226,19 +226,150 @@ def panel_apply_planar(
     return ore.reshape(N), oim.reshape(N)
 
 
-def _dual_panel_kernel(*refs, modes, dspec=None):
+def _straddle_plan(qb: int, U, fdtype):
+    """Static plan for a (6, qb in 7..13) straddler prologue.
+
+    ``out[p] = sum_k C_k[p] * x[p ^ flips_k]`` over the <= 4 flip
+    patterns of the two bits, with (128, 128) coefficient planes
+    ``C_k[p] = U[b(p), b(p)^k]`` (b = 2*x_lane6 + x_dbit).  Zero terms
+    are elided HERE (statically) — a CNOT reduces to two
+    mask-multiplies and one sublane-pair flip.  Returns
+    ``(creal, cimag | None, meta)`` where the planes are passed as
+    pallas INPUTS (kernels cannot capture array constants) and
+    ``meta = (qb, ks, kinds, has_imag)`` drives the kernel trace.
+    """
+    dbit = qb - 7
+    d0 = (np.arange(128) >> dbit) & 1          # row -> d-bit value
+    l6 = (np.arange(128) >> 6) & 1             # lane -> bit-6 value
+    b = 2 * l6[None, :] + d0[:, None]          # (128, 128) block ids
+    Un = np.asarray(U, np.complex128)
+    ks, kinds, crs, cis = [], [], [], []
+    has_imag = False
+    npdt = np.dtype(jnp.dtype(fdtype).name)
+    planes = {}
+    for k in range(4):
+        C = Un[b, b ^ k]
+        if not C.any():
+            continue
+        planes[k] = C
+        ks.append(k)
+        if np.allclose(C.imag, 0.0):
+            kinds.append("unit" if np.allclose(C.real, 1.0) else "real")
+        else:
+            kinds.append("complex")
+            has_imag = True
+        crs.append(C.real.astype(npdt))
+        cis.append(C.imag.astype(npdt))
+    # Permutation-like fast path (CNOT & friends): exactly two terms
+    # whose 0/1 masks tile the block -> ONE select per plane instead
+    # of two multiplies + add (the VPU prologue serializes with the
+    # MXU contractions, so every elided block op is wall time).
+    if (len(ks) == 2 and ks[0] == 0
+            and all(np.allclose(planes[k].imag, 0) for k in ks)
+            and all(np.isin(planes[k].real, (0.0, 1.0)).all() for k in ks)
+            and np.allclose(planes[ks[0]].real + planes[ks[1]].real, 1.0)):
+        mask = planes[ks[1]].real.astype(npdt)  # 1 -> take flipped term
+        return mask[None], None, (qb, (ks[1],), ("select",), False)
+    creal = np.stack(crs)
+    cimag = np.stack(cis) if has_imag else None
+    return creal, cimag, (qb, tuple(ks), tuple(kinds), has_imag)
+
+
+def _straddle_prologue(o_re, o_im, meta, creal_ref, cimag_ref,
+                       interpret: bool):
+    """Apply the planned straddler gate to a VMEM block (BA, 128, 128).
+
+    The (6, qb) pair fits no window (``panelize._fit_start`` forbidden
+    zone) so it otherwise costs a dedicated full-state pass — but in a
+    dual-panel block BOTH its bits are VMEM-resident, so the gate
+    rides the panel pass as a VPU prologue (zero extra HBM traffic).
+    """
+    qb, ks, kinds, has_imag = meta
+    BA = o_re.shape[0]
+    dbit = qb - 7
+    hi, lo = 128 >> (dbit + 1), 1 << dbit
+
+    def flip_d(x):
+        # XOR of d-bit `dbit`: swap the two halves of the size-2 axis.
+        # (A ::-1 rev lowers to the `rev` primitive, which Mosaic does
+        # not implement — slice + concatenate does.)
+        v = x.reshape(BA, hi, 2, lo, 128)
+        v = jnp.concatenate([v[:, :, 1:2], v[:, :, 0:1]], axis=2)
+        return v.reshape(x.shape)
+
+    def flip_l6(x):
+        # lane XOR 64 == cyclic roll by 64 on the 128-lane axis
+        if interpret:
+            return jnp.roll(x, 64, axis=-1)
+        return pltpu.roll(x, 64, axis=x.ndim - 1)
+
+    cache = {0: (o_re, o_im)}
+
+    def term(k):  # k bit0 = d flip, bit1 = lane-6 flip
+        if k in cache:
+            return cache[k]
+        if k & 2 and 2 not in cache:
+            cache[2] = (flip_l6(o_re), flip_l6(o_im))
+        xr, xi = cache[2] if k & 2 else cache[0]
+        if k & 1:
+            xr, xi = flip_d(xr), flip_d(xi)
+        cache[k] = (xr, xi)
+        return cache[k]
+
+    if kinds == ("select",):
+        # Permutation-like gate: out = where(mask, flipped, x).
+        sel = creal_ref[0] > 0.5
+        tr, ti = term(ks[0])
+        return jnp.where(sel, tr, o_re), jnp.where(sel, ti, o_im)
+
+    acc_r = acc_i = None
+    for t, (k, kind) in enumerate(zip(ks, kinds)):
+        tr, ti = term(k)
+        if kind == "unit":
+            pr, pi = tr, ti
+        elif kind == "real":
+            Cr = creal_ref[t]
+            pr, pi = tr * Cr, ti * Cr
+        else:
+            Cr = creal_ref[t]
+            Ci = cimag_ref[t]
+            pr = tr * Cr - ti * Ci
+            pi = ti * Cr + tr * Ci
+        acc_r = pr if acc_r is None else acc_r + pr
+        acc_i = pi if acc_i is None else acc_i + pi
+    return acc_r, acc_i
+
+
+def _dual_panel_kernel(*refs, modes, dspec=None, smeta_pre=None,
+                       smeta_post=None, interpret=False):
     # Two panel contractions in ONE HBM pass on block (BA, 128, 128):
     # 'full' contracts axis 1 (the pos-7 window), 'lane' the trailing
     # lane axis (the pos-0 window) — the second contraction rides the
-    # first's read+write.
-    if dspec is None:
-        (re_ref, im_ref, w1r_ref, w1i_ref, w2r_ref, w2i_ref,
-         ore_ref, oim_ref) = refs
-    else:
-        (re_ref, im_ref, w1r_ref, w1i_ref, w2r_ref, w2i_ref,
-         a_ref, m_ref, ore_ref, oim_ref) = refs
+    # first's read+write.  Optional straddler-gate prologue/epilogue
+    # (circuit-order BEFORE/AFTER both panels) runs in VMEM around the
+    # contractions; the merged-diag epilogue (dspec) stays LAST
+    # (circuit order: [pre] panels [post] [diag]).
+    # Inputs: re, im, w1r, w1i, w2r, w2i [, a, m]
+    #         [, pre_creal[, pre_cimag]][, post_creal[, post_cimag]].
+    def nplanes(m):
+        return 0 if m is None else (2 if m[3] else 1)
+
+    n_in = (6 + (2 if dspec is not None else 0)
+            + nplanes(smeta_pre) + nplanes(smeta_post))
+    ins, (ore_ref, oim_ref) = refs[:n_in], refs[n_in:]
+    re_ref, im_ref, w1r_ref, w1i_ref, w2r_ref, w2i_ref = ins[:6]
+    p = 6
+    if dspec is not None:
+        a_ref, m_ref = ins[6:8]
+        p = 8
     o_re = re_ref[:]
     o_im = im_ref[:]
+    if smeta_pre is not None:
+        cre = ins[p]
+        cim = ins[p + 1] if smeta_pre[3] else None
+        p += nplanes(smeta_pre)
+        o_re, o_im = _straddle_prologue(o_re, o_im, smeta_pre, cre,
+                                        cim, interpret)
 
     for mode, wrr, wir in zip(modes, (w1r_ref, w2r_ref),
                               (w1i_ref, w2i_ref)):
@@ -254,6 +385,11 @@ def _dual_panel_kernel(*refs, modes, dspec=None):
                                   preferred_element_type=_pe(x))
         o_re, o_im = _cmul_planes(mm, o_re, o_im, wr, wi)
 
+    if smeta_post is not None:
+        cre = ins[p]
+        cim = ins[p + 1] if smeta_post[3] else None
+        o_re, o_im = _straddle_prologue(o_re, o_im, smeta_post, cre,
+                                        cim, interpret)
     if dspec is not None:
         th = _theta_matmul(a_ref, m_ref, dspec, o_re.dtype).reshape(
             o_re.shape)
@@ -282,6 +418,8 @@ def dual_panel_planar(
     inplace: bool = False,
     block_elems: int | None = None,
     diag_terms=None,
+    straddle=None,
+    post_straddle=None,
 ):
     """Apply panel W1@p1 then W2@p2 in ONE HBM pass.
 
@@ -291,7 +429,10 @@ def dual_panel_planar(
     MXU work merely sums — measured 12.8 ms vs 13.6 separate at n=28
     (panels are MXU-bound; see dual_panel_supported for the rejected
     wider pairs).  An optional merged-diag epilogue (``diag_terms``)
-    rides the same pass.
+    rides the same pass, and an optional forbidden-zone straddler
+    gate ``straddle=(qa=6, qb in 7..13, U4)`` (circuit-order BEFORE
+    the panels) runs as a VPU prologue — its standalone full-state
+    pass disappears (``panelize._fold_straddlers``).
     """
     assert dual_panel_supported(p1, p2), (p1, p2)
     D = 128
@@ -299,6 +440,22 @@ def dual_panel_planar(
     A = N // (D * 128)
     fdtype = re.dtype
     if A == 0:  # tiny states: two passes (tests at n < 15)
+        from . import dense as _dense
+
+        def strad(re, im, s):
+            qb, U4 = s[1], s[2]
+            out = _dense.apply_gate_planar(re, im, (6, qb), U4)
+            if out is None:  # generic complex fallback (tiny only)
+                cdt = (jnp.complex128 if fdtype == jnp.float64
+                       else jnp.complex64)
+                psi = _dense.apply_gate(from_planar(re, im, cdt),
+                                        (6, qb), jnp.asarray(U4))
+                out = to_planar(psi)
+            return out
+
+        if straddle is not None:
+            re, im = strad(re, im, straddle)
+
         def one(re, im, W, p, dt):
             if p == 0:
                 return panel_apply_planar(re, im, W, interpret=interpret,
@@ -307,7 +464,13 @@ def dual_panel_planar(
                                            interpret=interpret,
                                            inplace=inplace, diag_terms=dt)
         re, im = one(re, im, W1, p1, None)
-        return one(re, im, W2, p2, diag_terms)
+        if post_straddle is None:
+            return one(re, im, W2, p2, diag_terms)
+        re, im = one(re, im, W2, p2, None)
+        re, im = strad(re, im, post_straddle)
+        if diag_terms is not None:
+            re, im = _dense.apply_diag_terms_planar(re, im, diag_terms)
+        return re, im
 
     def prep(W, p):
         Wn = np.asarray(W)
@@ -335,7 +498,8 @@ def dual_panel_planar(
         if dplan is None:
             re, im = dual_panel_planar(
                 re, im, W1, p1, W2, p2, interpret=interpret,
-                inplace=inplace, block_elems=block_elems)
+                inplace=inplace, block_elems=block_elems,
+                straddle=straddle, post_straddle=post_straddle)
             return fused_diag_planar(re, im, diag_terms,
                                      interpret=interpret, inplace=inplace)
 
@@ -356,9 +520,24 @@ def dual_panel_planar(
                      pl.BlockSpec(dplan[1].shape, lambda a: (0, 0),
                                   memory_space=pltpu.VMEM)]
         operands += [dplan[0], dplan[1]]
+    smeta_pre = smeta_post = None
+
+    def add_straddle(s):
+        creal, cimag, meta = _straddle_plan(s[1], s[2], fdtype)
+        for c in (creal,) + ((cimag,) if cimag is not None else ()):
+            in_specs.append(pl.BlockSpec(
+                c.shape, lambda a: (0, 0, 0), memory_space=pltpu.VMEM))
+            operands.append(c)
+        return meta
+
+    if straddle is not None:
+        smeta_pre = add_straddle(straddle)
+    if post_straddle is not None:
+        smeta_post = add_straddle(post_straddle)
     kern = functools.partial(
         _dual_panel_kernel, modes=(m1, m2),
-        dspec=None if dplan is None else dplan[2])
+        dspec=None if dplan is None else dplan[2],
+        smeta_pre=smeta_pre, smeta_post=smeta_post, interpret=interpret)
     ore, oim = pl.pallas_call(
         kern,
         grid=(A // BA,),

@@ -74,6 +74,13 @@ def apply_gate_lean(psi: np.ndarray, qubits: list[int], U: np.ndarray,
         raise ValueError(f"matrix shape {U.shape} does not match {m} qubits")
     if m > 3:
         raise ValueError("apply_gate_lean supports 1-3 qubit gates")
+    if not psi.flags.c_contiguous:
+        # The strided reshape below must be a VIEW: on a non-contiguous
+        # input numpy silently returns a copy and every in-place write
+        # is discarded (the call becomes a no-op).  Fail loudly instead
+        # (ADVICE r4 #1).
+        raise ValueError("apply_gate_lean requires a C-contiguous state "
+                         "(in-place strided views)")
     U = np.ascontiguousarray(U, dtype=np.complex128)
     # Sort qubits ascending for the reshape; track where each gate
     # qubit landed so subspace index bit (m-1-j) still carries

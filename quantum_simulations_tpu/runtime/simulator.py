@@ -181,7 +181,8 @@ def apply_window_op(re, im, op, dtype, interpret, inplace=False,
     if isinstance(op, DualPanelOp):
         return pk.dual_panel_planar(
             re, im, op.first.W, op.first.pos, op.second.W, op.second.pos,
-            interpret=interpret, inplace=inplace, diag_terms=diag_terms)
+            interpret=interpret, inplace=inplace, diag_terms=diag_terms,
+            straddle=op.pre_straddle, post_straddle=op.post_straddle)
     if isinstance(op, BitPermGridOp):
         # Mid pairs + residual top permutation in one out-of-place
         # pass (>= 10 bits are pure index-map re-addressing); capacity

@@ -85,5 +85,6 @@ def test_passes_roofline_small():
         assert r["measured_ms"] >= 0
         assert r["binding"] in ("bandwidth", "MXU@HIGHEST",
                                 "overhead/slack")
-    ks = [c["k"] for c in out["cumulative_prefix_ms"]]
+    ks = [c["k"] for c in out["raw_prefix_wall_ms"]]
     assert ks == list(range(out["passes"] + 1))
+    assert len(out["per_rep_prefix_ms"]) == out["passes"] + 1
