@@ -7,13 +7,16 @@ out-of-core (139 s, complex64) on its benchmark machine
 (``wenbo_engine/docs/v3_comparison.md:45-62``).
 
 Executed in fixed-window planar-Pallas mode with planar end-to-end
-io: the whole circuit compiles to 6 HBM passes (Gauss 3-mult MXU
-panel kernels + Pallas pair/mixed straddler kernels + terms-only
-fused-diag merging + global cross-phase panel coalescing) with
-full-precision accumulation — 82.4% of the composite HBM+MXU
-speed-of-light floor (BENCH_LOCAL per_pass_roofline).  Results are
-forced with an on-device norm reduction fetched to host (plain
-block_until_ready is unreliable through the axon tunnel).
+io: the whole circuit compiles to 5 HBM passes (Gauss 3-mult MXU
+panel kernels + terms-only fused-diag merging + global cross-phase
+panel coalescing + forbidden-zone straddler gates folded into the
+dual-panel passes as VPU prologues) with full-precision
+accumulation — 77-79% of the composite HBM+MXU speed-of-light
+floor under the round-5 corrected audit (16 B/amp HBM floor,
+analytic 32.8 TFLOP/s MXU ceiling, two-point prefix differencing;
+BENCH_LOCAL per_pass_roofline).  Results are forced with an
+on-device norm reduction fetched to host (plain block_until_ready
+is unreliable through the axon tunnel).
 
 Prints ONE JSON line:
   metric        amplitude-updates per second at n=28
