@@ -80,33 +80,62 @@ def main() -> None:
 
     planar = True
     try:
+        # Steady state is measured with the reps chained INSIDE one
+        # program (lax.fori_loop with a TRACED trip count, donated
+        # planes): the per-dispatch axon-tunnel RPC (~1-5 ms each on a
+        # loaded host) is host overhead, not circuit work, and the
+        # two-point estimate (t(2R)-t(R))/R cancels the per-program
+        # fixed cost exactly — same methodology as the per-pass audit
+        # (bench/passes.py), which cross-checks this number pass by
+        # pass.
+        from jax import lax
+
+        from quantum_simulations_tpu.circuit.panelize import (
+            compile_window_schedule,
+        )
+        from quantum_simulations_tpu.ops import dense
+        from quantum_simulations_tpu.runtime.simulator import (
+            apply_window_op, pair_panel_diag,
+        )
+
+        ops = pair_panel_diag(compile_window_schedule(
+            cd, diag_terms_only=True))
+
+        def body(_, st):
+            re, im = st
+            for op, dterms in ops:
+                re, im = apply_window_op(re, im, op, jnp.complex64,
+                                         False, False, diag_terms=dterms)
+            return (re, im)
+
         compiled = _compile_with_retries(
-            lambda: simulator.build_window_circuit_fn(
-                cd, dtype="complex64", donate=True, interpret=False,
-                planar_io=True), (P, P))
+            lambda: jax.jit(
+                lambda re, im, r: lax.fori_loop(0, r, body, (re, im)),
+                donate_argnums=(0, 1)),
+            (P, P, jax.ShapeDtypeStruct((), jnp.int32)))
+        norm2 = jax.jit(
+            lambda re, im: jnp.sum(re * re) + jnp.sum(im * im)
+        ).lower(P, P).compile()
+
+        def chain(k: int) -> tuple[float, float]:
+            st = jax.jit(lambda: dense.zero_state_planar(n))()
+            t0 = time.perf_counter()
+            st = compiled(*st, jnp.int32(k))
+            norm = float(jax.device_get(norm2(*st)))
+            return time.perf_counter() - t0, norm
+
+        chain(1)  # warm
+        reps = 10
+        t1 = min(chain(reps)[0] for _ in range(3))
+        runs2 = [chain(2 * reps) for _ in range(3)]
+        t2 = min(t for t, _ in runs2)
+        final_norm = runs2[-1][1]
+        dt = (t2 - t1) / reps
     except Exception:
         planar = False
         compiled = _compile_with_retries(
             lambda: simulator.build_panel_circuit_fn(
                 cd, dtype="complex64", donate=False), (S,))
-
-    if planar:
-        from quantum_simulations_tpu.ops import dense
-
-        norm2 = jax.jit(
-            lambda re, im: jnp.sum(re * re) + jnp.sum(im * im)
-        ).lower(P, P).compile()
-        state = jax.jit(lambda: dense.zero_state_planar(n))()
-
-        def chain(k: int) -> float:
-            # k chained applications dispatched async, ONE scalar
-            # fetch: the ~44 ms axon-tunnel RTT amortizes over all
-            # reps instead of taxing each one.
-            nonlocal state
-            for _ in range(k):
-                state = compiled(*state)
-            return float(jax.device_get(norm2(*state)))
-    else:
         norm2 = jax.jit(
             lambda x: jnp.sum(jnp.real(x) ** 2 + jnp.imag(x) ** 2)
         ).lower(S).compile()
@@ -114,17 +143,17 @@ def main() -> None:
             lambda: jnp.zeros(1 << n, dtype=jnp.complex64).at[0].set(1.0))()
         float(jax.device_get(norm2(psi)))  # force input
 
-        def chain(k: int) -> float:
+        def chain_py(k: int) -> float:
             out = psi
             for _ in range(k):
                 out = compiled(out)
             return float(jax.device_get(norm2(out)))
 
-    chain(1)  # warm run
-    reps = 10
-    t0 = time.perf_counter()
-    final_norm = chain(reps)
-    dt = (time.perf_counter() - t0) / reps
+        chain_py(1)  # warm run
+        reps = 10
+        t0 = time.perf_counter()
+        final_norm = chain_py(reps)
+        dt = (time.perf_counter() - t0) / reps
 
     ref_wall_s = 139.0  # reference out-of-core n=28 (v3_comparison.md:60)
     result = {
