@@ -72,12 +72,16 @@ def _panel_width(W) -> int:
     return int(np.asarray(W).shape[-1])
 
 
-def _op_floors_ms(op, n: int) -> tuple[float, float]:
+def _op_floors_ms(op, n: int, dterms=None) -> tuple[float, float]:
     """(hbm_floor_ms, mxu_floor_ms) for one window-schedule op.
 
     HBM: every full-state planar pass moves >= 16 bytes/amplitude
     (read + write of both f32 planes).  MXU: Gauss 3-mult FLOPs from
-    the op's REAL panel width(s) (ADVICE r4: no hardcoded 128).
+    the op's REAL panel width(s) (ADVICE r4: no hardcoded 128).  A
+    fused-diag epilogue (``dterms``) adds its theta matmul
+    (2 * C * 2^n FLOP for C terms); its sin/cos + rotation runs on
+    the VPU's transcendental units, which this floor model does NOT
+    cover — such passes are labeled, not slack-shamed.
     """
     hbm = 16 * (1 << n) / (HBM_GBS * 1e9) * 1e3
     kind = type(op).__name__
@@ -88,8 +92,10 @@ def _op_floors_ms(op, n: int) -> tuple[float, float]:
     elif kind == "WindowPanelOp":
         fl = 3 * 2 * _panel_width(op.W) * (1 << n)
         mxu = fl / (MXU_TFLOPS * 1e12) * 1e3
-    else:  # PhysGateOp / swaps / bitperm / diag epilogues: VPU + HBM
+    else:  # PhysGateOp / swaps / bitperm / diag broadcasts: VPU + HBM
         mxu = 0.0
+    if dterms:
+        mxu += 2 * len(dterms) * (1 << n) / (MXU_TFLOPS * 1e12) * 1e3
     return hbm, mxu
 
 
@@ -210,10 +216,11 @@ def run(config: str = "nonstab28", reps: int = 12,
     raw = []
     for idx, (op, dterms) in enumerate(ops):
         ms = cum[idx + 1] - cum[idx]
-        hbm_f, mxu_f = _op_floors_ms(op, n)
+        hbm_f, mxu_f = _op_floors_ms(op, n, dterms)
         raw.append({"ops": [idx], "kinds": [type(op).__name__],
                     "details": [_op_detail(op)], "ms": ms,
                     "hbm": hbm_f, "mxu": mxu_f,
+                    "diag_terms": len(dterms) if dterms else 0,
                     "floor": max(hbm_f, mxu_f)})
 
     # Attribution-spill repair: a pass cannot beat its own floor (HBM
@@ -229,6 +236,7 @@ def run(config: str = "nonstab28", reps: int = 12,
                 "details": a["details"] + b["details"],
                 "ms": a["ms"] + b["ms"], "hbm": a["hbm"] + b["hbm"],
                 "mxu": a["mxu"] + b["mxu"],
+                "diag_terms": a["diag_terms"] + b["diag_terms"],
                 "floor": a["floor"] + b["floor"], "merged": True}
 
     groups = [dict(r) for r in raw]
@@ -257,6 +265,14 @@ def run(config: str = "nonstab28", reps: int = 12,
                            if g["ms"] > 0 else None),
             "binding": _binding(g["ms"], g["hbm"], g["mxu"], g["floor"]),
         }
+        if g["diag_terms"]:
+            # sin/cos + rotation of the fused-diag epilogue runs on
+            # the VPU transcendental units — outside this floor model;
+            # the pass is labeled rather than slack-shamed.
+            row["diag_epilogue_terms"] = g["diag_terms"]
+            if row["binding"] == "overhead/slack":
+                row["binding"] = "diag-epilogue(VPU trig; floor omits)"
+        
         if g.get("merged"):
             row["note"] = ("attribution group: a constituent delta fell "
                            "below its own floor (boundary spill); "
@@ -265,8 +281,8 @@ def run(config: str = "nonstab28", reps: int = 12,
         print(json.dumps(row), flush=True)
 
     total = cum[-1] - rtt
-    comp_floor = sum(max(*_op_floors_ms(op, n)) for op, _ in ops)
-    hbm_floor = sum(_op_floors_ms(op, n)[0] for op, _ in ops)
+    comp_floor = sum(max(*_op_floors_ms(op, n, dt)) for op, dt in ops)
+    hbm_floor = sum(_op_floors_ms(op, n, dt)[0] for op, dt in ops)
     out = {"circuit": config, "n": n,
            "gates": len(cd["gates"]), "passes": len(ops),
            "method": "two-point prefix-differencing: per-rep cost = "
