@@ -20,28 +20,36 @@ so the end-to-end wall clock is auditable pass by pass: which passes
 are bandwidth-bound, which are precision-constrained MXU compute,
 which carry dispatch/overhead slack, and where schedule slack remains.
 
-Methodology — robust prefix differencing.  Timing one op repeated in
-isolation is WRONG for the transposing window kernels: a pass that
+Fused-diag epilogues riding a panel add their theta-matmul FLOPs
+(2*C*2^n for C terms) to that pass's MXU floor; their sin/cos +
+rotation runs on the VPU transcendental units, OUTSIDE this floor
+model — such passes carry a ``diag-epilogue`` binding label and term
+count instead of being misread as schedule slack.
+
+Methodology — two-point prefix differencing.  Timing one op repeated
+in isolation is WRONG for the transposing window kernels: a pass that
 reads layout A and writes layout B gets a free relabel in the real
 chain (the next pass simply consumes B), but repeating it on its own
 output forces XLA to insert a physical relayout copy every iteration
 (measured: isolated per-pass sums to ~113 ms for a 61 ms circuit).
-Instead we compile ops[0..k] for k = 0..P as ONE program each (k = 0
-measures the axon-tunnel RTT intercept), run `reps` chained
-applications inside `lax.fori_loop`, measure that program `samples`
-times taking the MIN (contention/tunnel hiccups only ever ADD time),
-and report monotone-constrained deltas t(k) - t(k-1) as pass k's
-in-context cost.  Round 4 published single-shot deltas, which put one
-pass at 5x its floor — physically impossible (it implies 3.2 TB/s on
-819 GB/s HBM) and traced to one noisy prefix sample inflating its
-neighbor; min-of-samples kills that failure mode.  Residual
-adjacent-pass attribution spill is still possible when XLA merges a
-relabel across an op boundary, so any delta that lands below its own
-HBM floor (impossible for a real pass) is MERGED with its predecessor
-into one attribution group whose combined measure and combined floor
-are reported together — no row can overstate its pct_of_sol.  The
-TOTAL row is exact either way.  The raw cumulative curve (all samples
-per prefix) ships in the output for independent re-attribution.
+Instead, ops[0..k) for k = 0..P compile as ONE program each with a
+TRACED `lax.fori_loop` trip count; per-rep cost of prefix k is
+(t(2R) - t(R)) / R with a min over `samples` runs of each trip count
+(contention/tunnel hiccups only ever ADD time), so the per-program
+fixed cost — dispatch, result fetch, tunnel RTT — cancels EXACTLY
+rather than being estimated from a k=0 intercept (whose spread
+leaked into pass 0's delta in earlier revisions).  Deltas of the
+monotone-clamped per-rep curve are each pass's in-context cost.
+Round 4 published single-shot deltas, which put one pass at 5x its
+floor — physically impossible (3.2 TB/s on 819 GB/s HBM).  Residual
+adjacent-pass attribution spill is still possible when XLA shifts
+work across an op boundary, so any delta below 97% of its OWN floor
+is merged with its neighbor to a fixpoint; a group's floor is the
+SUM of its members' max-floors (identical accounting to the
+composite floor), so no reported row can overstate pct_of_sol and
+rows may read at most ~103% of floor (the estimator tolerance).  The
+TOTAL row is exact either way.  Raw per-prefix wall times ship in
+the output for independent re-attribution.
 
     python -m quantum_simulations_tpu.bench.passes [--config nonstab28]
         [--reps 12] [--samples 5] [--update-bench-local]
