@@ -78,7 +78,7 @@ def main() -> None:
                 time.sleep(5 * (i + 1))
         raise last
 
-    planar = True
+    mode = "planar_inprogram"
     try:
         # Steady state is measured with the reps chained INSIDE one
         # program (lax.fori_loop with a TRACED trip count, donated
@@ -117,8 +117,10 @@ def main() -> None:
             lambda re, im: jnp.sum(re * re) + jnp.sum(im * im)
         ).lower(P, P).compile()
 
+        zero_state = jax.jit(lambda: dense.zero_state_planar(n))
+
         def chain(k: int) -> tuple[float, float]:
-            st = jax.jit(lambda: dense.zero_state_planar(n))()
+            st = zero_state()
             t0 = time.perf_counter()
             st = compiled(*st, jnp.int32(k))
             norm = float(jax.device_get(norm2(*st)))
@@ -132,7 +134,7 @@ def main() -> None:
         final_norm = runs2[-1][1]
         dt = (t2 - t1) / reps
     except Exception:
-        planar = False
+        mode = "complex_fallback"
         compiled = _compile_with_retries(
             lambda: simulator.build_panel_circuit_fn(
                 cd, dtype="complex64", donate=False), (S,))
@@ -164,6 +166,7 @@ def main() -> None:
         "wall_s": round(dt, 4),
         "n_gates": n_gates,
         "norm2": round(final_norm, 7),
+        "mode": mode,
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))

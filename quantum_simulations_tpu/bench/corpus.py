@@ -367,7 +367,8 @@ def run(tier: str = "small", max_n: int | None = None,
     summary = {
         "corpus": CLUSTER, "total_files": len(discover()),
         "checked": len(rows),
-        "verified": sum(r.get("status") == "verified" for r in rows),
+        "verified": sum(str(r.get("status")).startswith("verified")
+                        for r in rows),
         "failed": sum("FAIL" in str(r.get("status")) for r in rows),
         "skipped": sum(r.get("status") == "skipped" for r in rows),
         "rows": rows,
@@ -392,14 +393,24 @@ def write_manifest(bench_local_path: str, out_path: str) -> dict:
     for r in sorted(rows, key=lambda r: r["circuit"]):
         e = {"n": r.get("n"), "gates": r.get("gates"),
              "method": r.get("method"), "status": r.get("status")}
-        if isinstance(r.get("max_amp_err"), float):
-            e["max_amp_err"] = r["max_amp_err"]
-            e["max_amp_err_bound"] = TOL
+        err = r.get("max_amp_err",
+                    r.get("max_amp_err_vs_exact_lightcone"))
+        if isinstance(err, float):
+            # Per-circuit bound: observed error rounded up a DECADE
+            # (then one more for re-run seed slack), capped at TOL —
+            # a kernel regression that degrades a 1e-14 circuit to
+            # 1e-11 fails the guard even though 1e-11 < TOL.
+            e["max_amp_err"] = err
+            e["max_amp_err_bound"] = min(
+                TOL, 10.0 ** (np.ceil(np.log10(max(err, 1e-17))) + 1))
         if r.get("status") == "skipped":
             e["reason"] = r.get("reason")
         man[r["circuit"]] = e
     out = {"tol": TOL, "circuits": man,
-           "verified": sum(v["status"] == "verified" for v in man.values()),
+           # "verified_c64" (the n=33 spill/lightcone rows) counts as
+           # verified — same convention as bench/corpus33.py.
+           "verified": sum(str(v["status"]).startswith("verified")
+                           for v in man.values()),
            "skipped": sum(v["status"] == "skipped" for v in man.values())}
     with open(out_path, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
@@ -447,7 +458,8 @@ def main() -> None:
                         key=lambda r: (r.get("n", 0), r["circuit"]))
         d["qasmbench_corpus"] = {
             "corpus": res["corpus"], "total_files": res["total_files"],
-            "verified": sum(r.get("status") == "verified" for r in merged),
+            "verified": sum(str(r.get("status")).startswith("verified")
+                            for r in merged),
             "failed": sum("FAIL" in str(r.get("status")) for r in merged),
             "skipped": sum(r.get("status") == "skipped" for r in merged),
             "tol": TOL, "rows": merged,

@@ -8,9 +8,10 @@ resource floors —
   ``16 * 2^n / 819e9`` seconds.  This is a hard physical bound — no
   full-state pass can measure below it.
 * MXU floor: panel passes are matmul-bound at HIGHEST precision
-  (measured 30 TFLOP/s ceiling on v5e for the f32 panel contraction,
-  ``ops/pallas_kernels.py:27-35``; a manual bf16_3x split raced
-  slower).  A 2^w-wide Gauss panel is 3 real matmuls of
+  (analytic 32.8 TFLOP/s ceiling: v5e 196.7 bf16 TFLOP/s / 6
+  emulation passes; the best kernel sustains 30.5, and a manual
+  bf16_3x split raced slower — ``ops/pallas_kernels.py:27-35``).
+  A 2^w-wide Gauss panel is 3 real matmuls of
   2^w x 2^w x (2^n/2^w) = ``3*2*2^w*2^n`` FLOP; the width is derived
   from the op's actual W (NOT assumed 128), a dual panel sums both
   constituent panels (its second contraction rides the same HBM
@@ -166,6 +167,7 @@ def run(config: str = "nonstab28", reps: int = 12,
     norm2 = jax.jit(
         lambda re, im: jnp.sum(re * re) + jnp.sum(im * im)
     ).lower(P, P).compile()
+    zero_state = jax.jit(lambda: dense.zero_state_planar(n))  # one trace
 
     def prefix_per_rep_ms(k: int) -> tuple[float, list[float], list[float]]:
         """Per-rep ms of ops[0..k) chained in one program.
@@ -192,12 +194,12 @@ def run(config: str = "nonstab28", reps: int = 12,
                 P, P, jax.ShapeDtypeStruct((), jnp.int32)).compile()
 
         def timed(r) -> list[float]:
-            st = jax.jit(lambda: dense.zero_state_planar(n))()
+            st = zero_state()
             st = fn(*st, jnp.int32(r))
             float(jax.device_get(norm2(*st)))  # warm + force
             out = []
             for _ in range(samples):
-                st = jax.jit(lambda: dense.zero_state_planar(n))()
+                st = zero_state()
                 t0 = time.perf_counter()
                 st = fn(*st, jnp.int32(r))
                 float(jax.device_get(norm2(*st)))

@@ -99,6 +99,66 @@ def run(n: int = 30, *, with_window_row: bool = True,
     return {"device": str(dev), "n_devices": 8, "rows": rows}
 
 
+# Scaled-down (n=14) EXECUTION of the exact 34q pod staged capacity
+# program over a 16-device virtual mesh — shared verbatim by
+# run16() below and tests/test_mesh16.py (one source of truth for
+# what "the pod program executes at 16" means).  Asserts internally;
+# emits one "ROW {json}" line for the bench to freeze.
+POD14_N16_SCRIPT = r"""
+import jax
+jax.config.update('jax_platforms', 'cpu')
+import json, time
+import numpy as np
+import jax.numpy as jnp
+from quantum_simulations_tpu.circuit import library as lib
+from quantum_simulations_tpu.circuit import staging as S
+from quantum_simulations_tpu.oracle import dense_numpy as oracle
+from quantum_simulations_tpu.ops.sampling import sample_bits_sharded
+from quantum_simulations_tpu.parallel import executor as E
+from quantum_simulations_tpu.parallel import mesh as M
+from quantum_simulations_tpu.utils.transfer import fetch_array
+
+n = 14
+mesh = M.make_mesh(16)
+k = M.shard_width(mesh, n)
+assert k == n - 4, k                      # 4th device bit exercised
+cd = lib.sycamore_like(n, depth=2, seed=5)  # the 34q config, scaled
+staged, log2phys, stats = S.stage_circuit(cd, k, "heuristic")
+t0 = time.time()
+_, fn = E.build_circuit_fns(mesh, staged, mode="window", inplace=True,
+                            planar_io=True, dtype=jnp.complex64)
+re, im = M.zero_state_planar_sharded(mesh, n)
+re, im = fn(re, im)
+got = (fetch_array(re) + 1j * fetch_array(im)).astype(np.complex64)
+got = S.permute_state(got, log2phys)
+want = oracle.simulate(cd).astype(np.complex64)
+err = float(np.max(np.abs(got - want)))
+assert err < 1e-4, err
+wall = time.time() - t0
+
+# SPMD hierarchical sampler, executed (not just lowered) at 16: shots
+# index the STAGED (physical-layout) state, so they are scored against
+# the staged oracle distribution.
+t0 = time.time()
+psi = E.simulate_sharded(mesh, staged, dtype="complex64", mode="window")
+shots = np.asarray(jax.jit(
+    lambda s, key: sample_bits_sharded(s, key, 64, n, mesh)
+)(psi, jnp.asarray([0, 1], jnp.uint32)))
+assert shots.shape == (64, n), shots.shape
+p2 = np.abs(oracle.simulate(staged)) ** 2
+idx = (shots.astype(np.int64) << np.arange(n, dtype=np.int64)).sum(1)
+min_p = float(p2[idx].min())
+assert min_p > 1e-12, min_p               # no impossible state sampled
+print("MESH16_EXEC_OK", err)
+print("ROW " + json.dumps({
+    "config": "pod34q_program_n14_sharded16_capacity",
+    "stages": stats["stages"], "gates": len(cd["gates"]),
+    "max_err_vs_oracle": err, "wall_s": round(wall, 2),
+    "sampler_shots": 64, "sampler_min_prob_sampled": min_p,
+    "sampler_wall_s": round(time.time() - t0, 2)}))
+"""
+
+
 def run16() -> dict:
     """16-device virtual-mesh rows (VERDICT r4 #6): a 4th device bit
     and 2-bit-deeper reshard groups beyond the 8-device artifact.
@@ -146,59 +206,13 @@ def run16() -> dict:
           **({} if p.returncode == 0 else
              {"error": (p.stderr or p.stdout)[-400:]})})
 
-    code2 = "import sys; sys.path.insert(0, " + repr(repo) + ")\n" + r"""
-import jax; jax.config.update('jax_platforms', 'cpu')
-import json, time
-import numpy as np
-import jax.numpy as jnp
-from quantum_simulations_tpu.circuit import library as lib
-from quantum_simulations_tpu.circuit import staging as S
-from quantum_simulations_tpu.oracle import dense_numpy as oracle
-from quantum_simulations_tpu.ops.sampling import sample_bits_sharded
-from quantum_simulations_tpu.parallel import executor as E
-from quantum_simulations_tpu.parallel import mesh as M
-from quantum_simulations_tpu.utils.transfer import fetch_array
-
-n = 14
-mesh = M.make_mesh(16)
-k = M.shard_width(mesh, n)
-assert k == n - 4, k   # the 4th device bit
-cd = lib.sycamore_like(n, depth=2, seed=5)   # the 34q config, scaled
-staged, log2phys, stats = S.stage_circuit(cd, k, "heuristic")
-t0 = time.time()
-_, fn = E.build_circuit_fns(mesh, staged, mode="window", inplace=True,
-                            planar_io=True, dtype=jnp.complex64)
-re, im = M.zero_state_planar_sharded(mesh, n)
-re, im = fn(re, im)
-got = (fetch_array(re) + 1j * fetch_array(im)).astype(np.complex64)
-got = S.permute_state(got, log2phys)
-want = oracle.simulate(cd).astype(np.complex64)
-err = float(np.max(np.abs(got - want)))
-wall = time.time() - t0
-# SPMD hierarchical sampler, executed (not just lowered) at 16:
-# shots index the STAGED (physical-layout) state, so score them
-# against the staged oracle distribution.
-t0 = time.time()
-psi = E.simulate_sharded(mesh, staged, dtype="complex64", mode="window")
-shots = np.asarray(jax.jit(
-    lambda s, key: sample_bits_sharded(s, key, 64, n, mesh)
-)(psi, jnp.asarray([0, 1], jnp.uint32)))
-assert shots.shape == (64, n), shots.shape
-p2 = np.abs(oracle.simulate(staged)) ** 2
-idx = (shots.astype(np.int64) << np.arange(n, dtype=np.int64)).sum(1)
-min_p = float(p2[idx].min())
-assert min_p > 1e-12, min_p   # no impossible basis state sampled
-print("ROW " + json.dumps({
-    "config": "pod34q_program_n14_sharded16_capacity",
-    "stages": stats["stages"], "gates": len(cd["gates"]),
-    "max_err_vs_oracle": err, "wall_s": round(wall, 2),
-    "sampler_shots": 64, "sampler_min_prob_sampled": min_p,
-    "sampler_wall_s": round(time.time() - t0, 2)}))
-"""
     env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH=repo + os.pathsep + os.environ.get(
+                   "PYTHONPATH", ""),
                XLA_FLAGS="--xla_force_host_platform_device_count=16")
-    p = subprocess.run([sys.executable, "-c", code2], cwd=repo, env=env,
-                       capture_output=True, text=True, timeout=1800)
+    p = subprocess.run([sys.executable, "-c", POD14_N16_SCRIPT], cwd=repo,
+                       env=env, capture_output=True, text=True,
+                       timeout=1800)
     row = None
     for line in p.stdout.splitlines():
         if line.startswith("ROW "):

@@ -441,9 +441,10 @@ def build_window_circuit_fn(
     fuse = _os.environ.get("QST_PANEL_DIAG_FUSE", "1") != "0"
     bpd = _os.environ.get("QST_BITPERM_DECOMP", "1") != "0"
     ppf = _os.environ.get("QST_PANEL_PAIR_FUSE", "1") != "0"
+    sfold = _os.environ.get("QST_STRADDLE_FOLD", "1") != "0"
     key = ("window", circuit_hash(cd), jnp.dtype(dtype).name, window,
            donate, interpret, inplace, planar_io, terms_only, fuse, bpd,
-           ppf)
+           ppf, sfold)
     cached = _COMPILE_CACHE.get(key)
     if cached is not None:
         return cached

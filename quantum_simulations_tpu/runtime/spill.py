@@ -298,7 +298,13 @@ def run_out_of_core(
                 arr = np.asarray(initial_state)
                 if arr.size != 1 << n:
                     raise ValueError("initial_state size mismatch")
-                # Adopt (dtype permitting) rather than copy.
+                if arr.ndim != 1:
+                    raise ValueError("initial_state must be 1-D "
+                                     "(stripe addressing slices axis 0)")
+                # ADOPTED, not copied (a second 2^n copy defeats the
+                # tier's memory point): the caller's array becomes the
+                # working buffer and is OVERWRITTEN with simulation
+                # state.  Pass arr.copy() to keep the original.
                 src.data = (arr if arr.dtype == np.dtype(dtype)
                             else arr.astype(np.dtype(dtype)))
         # single_copy: write results back into the SAME buffer — valid

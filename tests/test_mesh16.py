@@ -28,50 +28,14 @@ def test_dryrun_multichip_16_all_tiers():
     g.dryrun_multichip(16)  # raises on any tier failure
 
 
-EXEC_SCRIPT = r"""
-import jax
-jax.config.update('jax_platforms', 'cpu')
-import numpy as np
-import jax.numpy as jnp
-from quantum_simulations_tpu.circuit import library as lib
-from quantum_simulations_tpu.circuit import staging as S
-from quantum_simulations_tpu.oracle import dense_numpy as oracle
-from quantum_simulations_tpu.ops.sampling import sample_bits_sharded
-from quantum_simulations_tpu.parallel import executor as E
-from quantum_simulations_tpu.parallel import mesh as M
-from quantum_simulations_tpu.utils.transfer import fetch_array
-
-n = 14
-mesh = M.make_mesh(16)
-k = M.shard_width(mesh, n)
-assert k == n - 4, k                      # 4th device bit exercised
-cd = lib.sycamore_like(n, depth=2, seed=5)  # the 34q config, scaled
-staged, log2phys, stats = S.stage_circuit(cd, k, "heuristic")
-_, fn = E.build_circuit_fns(mesh, staged, mode="window", inplace=True,
-                            planar_io=True, dtype=jnp.complex64)
-re, im = M.zero_state_planar_sharded(mesh, n)
-re, im = fn(re, im)
-got = (fetch_array(re) + 1j * fetch_array(im)).astype(np.complex64)
-got = S.permute_state(got, log2phys)
-want = oracle.simulate(cd).astype(np.complex64)
-err = float(np.max(np.abs(got - want)))
-assert err < 1e-4, err
-
-psi = E.simulate_sharded(mesh, staged, dtype="complex64", mode="window")
-shots = np.asarray(jax.jit(
-    lambda s, key: sample_bits_sharded(s, key, 64, n, mesh)
-)(psi, jnp.asarray([0, 1], jnp.uint32)))
-assert shots.shape == (64, n), shots.shape
-p2 = np.abs(oracle.simulate(staged)) ** 2
-idx = (shots.astype(np.int64) << np.arange(n, dtype=np.int64)).sum(1)
-assert float(p2[idx].min()) > 1e-12       # no impossible state sampled
-print("MESH16_EXEC_OK", err)
-"""
-
-
 def test_pod34q_program_executes_scaled_at_16():
+    """Runs the SAME script the bench freezes
+    (`bench.sharded.POD14_N16_SCRIPT`) — one source of truth for what
+    "the pod program executes at 16 devices" means."""
+    from quantum_simulations_tpu.bench.sharded import POD14_N16_SCRIPT
+
     r = subprocess.run(
-        [sys.executable, "-c", EXEC_SCRIPT],
+        [sys.executable, "-c", POD14_N16_SCRIPT],
         capture_output=True, text=True, timeout=500,
         env={"PATH": "/usr/bin:/bin", "PYTHONPATH": str(REPO),
              "JAX_PLATFORMS": "cpu", "HOME": "/root",
