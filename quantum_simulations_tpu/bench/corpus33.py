@@ -34,6 +34,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -177,10 +178,25 @@ def verify_one_33(name: str, *, seg_gates: int = 6, k_amps: int = 4,
     stripe, amps = chunk_state_fn(n, seed)
     L = 1 << stripe_qubits
 
+    def _log(msg):
+        print(f"[{name} +{time.time() - t0:.0f}s] {msg}",
+              file=sys.stderr, flush=True)
+
+    _log(f"segment picked: {[g['gate'] for g in seg]} "
+         f"qubits={sorted({q for g in seg for q in g['qubits']})}")
+    _filled = [0]
+
+    def _gen(s):
+        _filled[0] += 1
+        if _filled[0] % 8 == 1:
+            _log(f"filling stripe {_filled[0]}/{1 << (n - stripe_qubits)}")
+        return stripe(s, L)
+
     got = spill.run_out_of_core(
         sub, stripe_qubits=stripe_qubits, backend="host",
         dtype="complex64", use_wal=False, single_copy=True,
-        initial_state=lambda s: stripe(s, L))
+        initial_state=_gen)
+    _log("engine done; checking norm")
 
     # Norm preservation, streamed.
     acc = 0.0
@@ -189,6 +205,7 @@ def verify_one_33(name: str, *, seg_gates: int = 6, k_amps: int = 4,
         acc += float(np.real(np.vdot(v, v)))
     norm_err = abs(np.sqrt(acc) - 1.0)
 
+    _log(f"norm_err={norm_err:.2e}; lightcone checks")
     # Exact lightcone amplitudes at K random outputs.
     rng = np.random.default_rng(seed + 1)
     idxs = rng.integers(0, 1 << n, size=k_amps, dtype=np.int64)
