@@ -206,10 +206,17 @@ def _verify_segments(name: str, cd: dict, seg_gates=None, k=None) -> dict:
             "wall_s": round(time.time() - t0, 2)}
 
 
-def _verify_trajectory(name: str, cd: dict, full_n_max: int = 28,
+def _verify_trajectory(name: str, cd: dict, full_n_max: int | None = None,
                        seeds=(0, 1)) -> dict:
     """Full oracle-twin trajectory when 2^n c128 twins fit comfortably;
-    otherwise segment checks on the unitary runs between boundaries."""
+    otherwise segment checks on the unitary runs between boundaries.
+
+    ``QST_TRAJ_FULL_NMAX`` overrides the full-twin size cutoff (the
+    n=28 default costs ~2 h/row on the 1-core host for 139-gate
+    trajectory circuits — the unitary-runs segment method is the
+    wall-clock fallback at identical per-gate rigor)."""
+    if full_n_max is None:
+        full_n_max = int(os.environ.get("QST_TRAJ_FULL_NMAX", "28"))
     import jax.numpy as jnp
 
     from ..oracle import dense_numpy as oracle
