@@ -180,23 +180,44 @@ def _verify_segments(name: str, cd: dict, seg_gates=None, k=None) -> dict:
     # and take the max-|diff| in chunks.
     import jax.numpy as jnp
 
+    import tempfile
+
+    big = n >= int(os.environ.get("QST_SEG_DISK_MIN", "31"))
+    # c128 twins are 32 GiB each at n=31: the jax result plus
+    # its numpy copy plus the regenerated oracle state peaked at
+    # ~130 GB and OOM-killed the n=31 rows — stream the engine result
+    # through a disk memmap in chunks so at most ONE full-state array
+    # is RAM-resident at a time (120 GB free on /).
+    step = 1 << 24
     for s in idxs:
         seg = gates[s * seg_gates:(s + 1) * seg_gates]
         sub = {"number_of_qubits": n, "gates": seg}
         x = jnp.asarray(_rand_state(n, 1000 + s))
-        got = simulator.simulate_np(sub, dtype="complex128",
-                                    use_fusion=True, panel_width=7,
-                                    mode="fused", initial_state=x)
+        g = simulator.simulate(sub, dtype="complex128",
+                               use_fusion=True, panel_width=7,
+                               mode="fused", initial_state=x)
         del x
+        if big:
+            tmp = tempfile.NamedTemporaryFile(
+                dir=os.environ.get("QST_SCRATCH", "/tmp"), delete=False)
+            got = np.memmap(tmp.name, dtype=np.complex128, mode="w+",
+                            shape=(1 << n,))
+            for i in range(0, 1 << n, step):
+                got[i:i + step] = np.asarray(g[i:i + step])
+            got.flush()
+        else:
+            got = np.asarray(g)
+        del g
         psi0 = _rand_state(n, 1000 + s)
         want = oracle.simulate_lean(sub, initial_state=psi0)  # aliases
         m = 0.0
-        step = 1 << 24
         for i in range(0, got.size, step):
             m = max(m, float(np.max(np.abs(got[i:i + step]
                                            - want[i:i + step]))))
         worst = max(worst, m)
         del got, want, psi0
+        if big:
+            os.unlink(tmp.name)
     n_seg = -(-len(gates) // seg_gates)
     return {"method": f"segment_restart_c128[{seg_gates}]_fusedtier",
             "segments_checked": idxs, "segments_total": n_seg,

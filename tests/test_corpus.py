@@ -84,3 +84,16 @@ def test_policy_routing():
         {"qubits": [0, 1], "gate": "CNOT"}]}, "unitary") == "classical"
     assert corpus._policy("x", {"number_of_qubits": 28, "gates": [
         {"qubits": [0], "gate": "RESET"}]}, "trajectory") == "trajectory"
+
+
+def test_segment_disk_stream_path(monkeypatch, tmp_path):
+    """The n>=31 memmap-streamed segment differential (OOM fix: at
+    most one full-state array RAM-resident) — forced at tiny n."""
+    monkeypatch.setenv("QST_SEG_DISK_MIN", "5")
+    monkeypatch.setenv("QST_SCRATCH", str(tmp_path))
+    path = os.path.join(corpus.CLUSTER, "qpe_n9", "qpe_n9.qasm")
+    cd, mode, _ = corpus.parse_one(path)
+    row = corpus._verify_segments("qpe_n9", cd)
+    assert row["status"] == "verified", row
+    assert row["max_amp_err"] < corpus.TOL
+    assert not list(tmp_path.iterdir())  # scratch cleaned up
