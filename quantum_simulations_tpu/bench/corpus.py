@@ -193,9 +193,13 @@ def _verify_segments(name: str, cd: dict, seg_gates=None, k=None) -> dict:
         seg = gates[s * seg_gates:(s + 1) * seg_gates]
         sub = {"number_of_qubits": n, "gates": seg}
         x = jnp.asarray(_rand_state(n, 1000 + s))
+        # donate_input: x is dead after this call; without donation the
+        # non-donated c128 chain holds ~4 co-live states (128 GiB at
+        # n=31) and the row is OOM-killed on the 125 GB host.
         g = simulator.simulate(sub, dtype="complex128",
                                use_fusion=True, panel_width=7,
-                               mode="fused", initial_state=x)
+                               mode="fused", initial_state=x,
+                               donate_input=True)
         del x
         if big:
             tmp = tempfile.NamedTemporaryFile(

@@ -509,6 +509,7 @@ def simulate(
     mode: str = "fused",
     initial_state=None,
     segment_gates: int | None = None,
+    donate_input: bool = False,
 ) -> jnp.ndarray:
     """Run a circuit on one device, return the final statevector.
 
@@ -528,6 +529,13 @@ def simulate(
     bounds work per execution unit the same way via its gate batcher,
     ``v2_spark/src/gate_batcher.py:40``, and v3 partition execution,
     ``v3_hisvsim_spark/src/hisvsim/partition_adapter.py:34-180``.)
+
+    ``donate_input``: donate the caller's ``initial_state`` buffer to
+    the compiled program (caller promises not to touch it afterwards).
+    Donation is otherwise disabled whenever an initial state is given;
+    at n>=31 c128 on the host backend the non-donated chain holds
+    input + output + temps (~4 states = 128 GiB) and OOMs — donation
+    halves the peak.
     """
     cd = validate_circuit_dict(circuit_dict)
     n = cd["number_of_qubits"]
@@ -538,14 +546,21 @@ def simulate(
         parts = partition(cd, n_seg, strategy="locality")
         psi = (dense.zero_state(n, dtype) if initial_state is None
                else jnp.asarray(initial_state, dtype=dtype))
+        first = True
         for part in parts:
             if not part:
                 continue
             sub = {"number_of_qubits": n,
                    "gates": [cd["gates"][i] for i in part]}
+            # psi is rebound each iteration, so every segment after the
+            # first may donate its input; the first donates only with
+            # the caller's permission.
             psi = simulate(sub, dtype=dtype, use_fusion=use_fusion,
                            panel_width=panel_width, mode=mode,
-                           initial_state=psi)
+                           initial_state=psi,
+                           donate_input=(donate_input or not first
+                                         or initial_state is None))
+            first = False
         return psi
     if mode == "auto":
         # Window mode wins when most gates pack into panels (measured
@@ -557,18 +572,19 @@ def simulate(
         st = window_stats(cd)
         dense_enough = st["hbm_passes"] <= max(4, len(cd["gates"]) // 2)
         mode = "window" if (n >= 14 and dense_enough) else "fused"
+    donate = initial_state is None or donate_input
     if mode == "panel":
         fn = build_panel_circuit_fn(
-            cd, dtype=dtype, donate=initial_state is None,
+            cd, dtype=dtype, donate=donate,
         )
     elif mode == "window":
         fn = build_window_circuit_fn(
-            cd, dtype=dtype, donate=initial_state is None,
+            cd, dtype=dtype, donate=donate,
         )
     else:
         fn = build_circuit_fn(
             cd, dtype=dtype, use_fusion=use_fusion, panel_width=panel_width,
-            donate=initial_state is None,
+            donate=donate,
         )
     if initial_state is None:
         psi = dense.zero_state(n, dtype)
