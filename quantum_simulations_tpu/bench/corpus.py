@@ -195,11 +195,18 @@ def _verify_segments(name: str, cd: dict, seg_gates=None, k=None) -> dict:
         x = jnp.asarray(_rand_state(n, 1000 + s))
         # donate_input: x is dead after this call; without donation the
         # non-donated c128 chain holds ~4 co-live states (128 GiB at
-        # n=31) and the row is OOM-killed on the 125 GB host.
+        # n=31) and the row is OOM-killed on the 125 GB host.  Big rows
+        # additionally compile the segment as several short donated
+        # sub-programs (segment_gates): one 12-gate program's XLA
+        # buffer liveness still exceeded 125 GB for some gate mixes
+        # (qnn_n31); 4-gate chunks bound it at ~2 states.
         g = simulator.simulate(sub, dtype="complex128",
                                use_fusion=True, panel_width=7,
                                mode="fused", initial_state=x,
-                               donate_input=True)
+                               donate_input=True,
+                               segment_gates=(int(os.environ.get(
+                                   "QST_SEG_ENGINE_CHUNK", "4"))
+                                   if big else None))
         del x
         if big:
             tmp = tempfile.NamedTemporaryFile(
